@@ -1,0 +1,230 @@
+"""Agreement matrix: stomp == mpx == scrimp(full) == stamp(full) == brute.
+
+Mirrors the reference's core oracle strategy
+(/root/reference/tests/testthat/test-stamps.R:118-199): every exact algorithm
+must produce identical profiles; anytime algorithms at full sampling equal the
+exact ones; incremental (stompi) equals batch. Oracle = brute O(n²·w).
+No Ray involved — pure numpy kernels.
+"""
+
+import numpy as np
+import pytest
+
+from tsmp_ray.kernels import (
+    StreamingProfile, brute_mp, mpx, mpx_diagonals, merge_min, mstomp,
+    prepare_series, scrimp, stamp, stomp, stomp_range,
+)
+from tsmp_ray.config import exclusion_zone
+
+# sqrt amplifies FFT rounding near d=0 (d = sqrt(d²), err ~ sqrt(1e-12));
+# 2e-5 on values of order sqrt(2w) ≈ 4–8 is a strict match in practice.
+ATOL = 2e-5
+
+
+def random_walk(n, seed=2018):
+    """The reference's bench workload: cumsum of ±1 (README.Rmd:75-78)."""
+    rng = np.random.default_rng(seed)
+    return np.cumsum(rng.choice([-1.0, 1.0], size=n))
+
+
+def sinusoid_with_motifs(n=300, seed=5):
+    rng = np.random.default_rng(seed)
+    x = np.sin(np.linspace(0, 20 * np.pi, n)) + 0.3 * rng.standard_normal(n)
+    motif = np.array([0.0, 2.0, -2.0, 2.0, -2.0, 0.0, 1.0, -1.0])
+    x[40:48] += motif
+    x[200:208] += motif
+    return x
+
+
+def assert_profiles_equal(a, b, *, check_pi=True, check_directional=True, atol=ATOL):
+    np.testing.assert_allclose(a.mp, b.mp, atol=atol)
+    if check_pi:
+        # pi may legitimately differ on exact ties; verify the distances match
+        # at each other's indices instead of exact index equality
+        diff = a.pi != b.pi
+        assert (np.abs(a.mp[diff] - b.mp[diff]) <= atol).all()
+    if check_directional and a.lmp is not None and b.lmp is not None:
+        np.testing.assert_allclose(a.lmp, b.lmp, atol=atol)
+        np.testing.assert_allclose(a.rmp, b.rmp, atol=atol)
+
+
+@pytest.mark.parametrize("w", [8, 30])
+@pytest.mark.parametrize("maker", [lambda: random_walk(400), sinusoid_with_motifs])
+def test_exact_agreement_matrix(w, maker):
+    x = maker()
+    oracle = brute_mp(x, w)
+    for fn, name in [
+        (lambda: stomp(x, w), "stomp"),
+        (lambda: mpx(x, w), "mpx"),
+        (lambda: scrimp(x, w, pre_scrimp=0, s_size=None), "scrimp-full"),
+        (lambda: scrimp(x, w, pre_scrimp=0.25, s_size=None), "scrimp-full+pre"),
+        (lambda: stamp(x, w), "stamp-full"),
+    ]:
+        got = fn()
+        assert_profiles_equal(got, oracle,
+                              check_directional=got.lmp is not None), name
+
+
+def test_pi_partners_are_consistent():
+    x = random_walk(500)
+    w = 20
+    prof = stomp(x, w)
+    oracle = brute_mp(x, w)
+    # where finite, pi must point at a window whose distance equals mp
+    ok = np.isfinite(prof.mp)
+    assert (prof.pi[ok] >= 0).all()
+    np.testing.assert_allclose(prof.mp, oracle.mp, atol=ATOL)
+
+
+def test_flat_and_nan_windows_are_skipped():
+    x = random_walk(300)
+    x[100:130] = 5.0          # flat region -> sd < eps windows
+    x[200:205] = np.nan       # NaN windows
+    w = 16
+    for algo in (stomp, mpx):
+        prof = algo(x, w)
+        oracle = brute_mp(x, w)
+        np.testing.assert_allclose(prof.mp, oracle.mp, atol=ATOL)
+        # fully-flat windows must be Inf/-1
+        assert np.isinf(prof.mp[105:115]).all()
+        assert (prof.pi[105:115] == -1).all()
+        # windows overlapping NaNs must be Inf
+        assert np.isinf(prof.mp[200 - w + 1 + 4 : 201]).all()
+
+
+def test_ab_join_agreement():
+    a = random_walk(300, seed=1)
+    b = random_walk(220, seed=2)
+    w = 12
+    oracle = brute_mp(a, w, query=b)
+    for algo in (stomp, mpx):
+        got = algo(a, w, query=b)
+        np.testing.assert_allclose(got.mp, oracle.mp, atol=ATOL)
+        assert got.join
+        # BA orientation equals brute of (b, query=a)
+        oracle_ba = brute_mp(b, w, query=a)
+        np.testing.assert_allclose(got.mpb, oracle_ba.mp, atol=ATOL)
+
+
+def test_stomp_range_sharding_min_merges_to_full():
+    """The salted-shard plan: partial profiles over query ranges min-merge to
+    the exact profile (reference plan /root/reference/R/stomp-par.R:102-117,
+    249-264)."""
+    x = random_walk(400)
+    w = 16
+    full = stomp(x, w)
+    parts = [stomp_range(x, w, lo, hi) for lo, hi in [(0, 130), (130, 260), (260, 385)]]
+    merged = parts[0]
+    for prt in parts[1:]:
+        merged = merge_min(merged, prt)
+    # row-sharded stomp only fills rows it computed; mp/pi merge to exact
+    np.testing.assert_allclose(merged.mp, full.mp, atol=ATOL)
+
+
+def test_mpx_diagonal_sharding_min_merges_to_full():
+    x = random_walk(400)
+    w = 16
+    state = prepare_series(x, w)
+    zone = exclusion_zone(w)
+    diags = np.arange(zone + 1, state.p)
+    split = np.array_split(diags, 3)
+    parts = [mpx_diagonals(state, dd) for dd in split]
+    merged = parts[0]
+    for prt in parts[1:]:
+        merged = merge_min(merged, prt)
+    full = mpx(x, w)
+    assert_profiles_equal(merged, full)
+
+
+def test_anytime_scrimp_upper_bounds_exact():
+    """Sampled scrimp is an upper bound of the exact mp everywhere."""
+    x = random_walk(600)
+    w = 24
+    exact = stomp(x, w)
+    approx = scrimp(x, w, pre_scrimp=0.25, s_size=0.2, seed=3)
+    finite = np.isfinite(exact.mp)
+    assert (approx.mp[finite] >= exact.mp[finite] - ATOL).all()
+    # and reasonably tight on average (anytime ~1/10 claim, R/tsmp.R:12-15)
+    gap = approx.mp[finite] - exact.mp[finite]
+    assert np.mean(gap) < 0.5
+
+
+def test_stompi_incremental_equals_batch():
+    x = random_walk(400)
+    w = 16
+    sp = StreamingProfile(x[:250], w)
+    sp.update(x[250:300])
+    sp.update(x[300:400])
+    batch = stomp(x, w)
+    np.testing.assert_allclose(sp.profile.mp, batch.mp, atol=ATOL)
+    np.testing.assert_allclose(sp.profile.rmp, batch.rmp, atol=ATOL)
+    # lmp also exact when no truncation
+    np.testing.assert_allclose(sp.profile.lmp, batch.lmp, atol=ATOL)
+
+
+def test_stompi_history_truncation_offsets():
+    x = random_walk(500)
+    w = 16
+    sp = StreamingProfile(x[:300], w, history_size=350)
+    sp.update(x[300:500])
+    assert sp.offset == 150
+    assert len(sp.data) == 350
+    # mp values for surviving windows match batch profile of the full series
+    batch = stomp(x, w)
+    np.testing.assert_allclose(sp.profile.mp, batch.mp[150:], atol=ATOL)
+
+
+def test_mstomp_1d_equals_stomp():
+    x = random_walk(300)
+    w = 16
+    ms = mstomp(x, w)
+    st = stomp(x, w)
+    np.testing.assert_allclose(ms.mp[0], st.mp, atol=ATOL)
+
+
+def brute_mstomp(data, w, ez=0.5):
+    """Independent multidim oracle: per-dim brute distance matrices, sort dims,
+    cumulative mean of squares, sqrt at end."""
+    from tsmp_ray.kernels.brute import _znorm_windows
+    from tsmp_ray.kernels.mass import clean_series
+    n, d = data.shape
+    p = n - w + 1
+    zone = exclusion_zone(w, ez)
+    mats = []
+    for j in range(d):
+        xc, skip = clean_series(data[:, j], w)
+        z, ok = _znorm_windows(xc, w)
+        corr = np.clip(z @ z.T / w, -1, 1)
+        dist = np.maximum(2.0 * w * (1 - corr), 0.0)
+        dist[~ok | skip, :] = np.inf
+        dist[:, ~ok | skip] = np.inf
+        mats.append(dist)
+    D = np.stack(mats)  # (d, p, p)
+    for i in range(p):
+        D[:, i, max(0, i - zone) : i + zone + 1] = np.inf
+    srt = np.sort(D, axis=0)
+    cum = np.cumsum(srt, axis=0) / np.arange(1, d + 1)[:, None, None]
+    mp = np.sqrt(cum.min(axis=2))
+    pi = cum.argmin(axis=2)
+    return mp, pi
+
+
+def test_mstomp_multidim_vs_brute():
+    rng = np.random.default_rng(11)
+    n, d = 220, 3
+    data = np.cumsum(rng.standard_normal((n, d)), axis=0)
+    w = 12
+    ms = mstomp(data, w)
+    mp_o, pi_o = brute_mstomp(data, w)
+    np.testing.assert_allclose(ms.mp, mp_o, atol=ATOL)
+
+
+def test_mstomp_must_exc():
+    rng = np.random.default_rng(12)
+    data = np.cumsum(rng.standard_normal((200, 3)), axis=0)
+    w = 10
+    ms = mstomp(data, w, must_dim=[1], exc_dim=[2])
+    assert ms.n_dim == 2
+    # row 0 = {dim1} alone; equals stomp on dim 1
+    st = stomp(data[:, 1], w)
+    np.testing.assert_allclose(ms.mp[0], st.mp, atol=ATOL)

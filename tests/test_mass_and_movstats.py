@@ -1,0 +1,102 @@
+"""MASS property tests (v2 ≡ v3 ≡ brute over random windows/indices —
+mirrors /root/reference/tests/testthat/test-mass-agressive.R:8-25) and
+moving-stats / small-function unit tests."""
+
+import numpy as np
+import pytest
+
+from tsmp_ray.kernels import brute_dist_profile, mass_pre, mass_v2, mass_v3
+from tsmp_ray.kernels.movstats import (
+    binary_split, complexity, corr_ed, diff_lag, ed_corr, ipaa, mode,
+    mov_mean, mov_stats, movmax, movmin, muinvn, normalize, paa, znorm,
+    zero_crossings, zero_one_norm,
+)
+
+ATOL = 1e-4  # w up to 200 -> d up to ~20; sqrt amplifies FFT noise near d=0
+
+
+def test_mass_v2_v3_brute_agree_aggressively():
+    rng = np.random.default_rng(42)
+    x = np.cumsum(rng.standard_normal(2000))
+    for _ in range(60):
+        w = int(rng.integers(4, 200))
+        pre = mass_pre(x, w)
+        i = int(rng.integers(0, len(x) - w + 1))
+        q = x[i : i + w]
+        d2, qt2 = mass_v2(pre, q)
+        d3, qt3 = mass_v3(pre, q, k=256)
+        db = brute_dist_profile(x, q)
+        np.testing.assert_allclose(d2, d3, atol=ATOL)
+        np.testing.assert_allclose(qt2, qt3, atol=1e-6 * np.abs(qt2).max())
+        np.testing.assert_allclose(d2, db, atol=ATOL)
+
+
+def test_mass_degenerate_query_all_inf():
+    x = np.cumsum(np.ones(100))
+    pre = mass_pre(np.random.default_rng(0).standard_normal(100), 10)
+    d, _ = mass_v2(pre, np.full(10, 3.0))
+    assert np.isinf(d).all()
+
+
+def test_mov_stats_match_naive():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(500) * 100 + 1e6  # big offset stresses stability
+    w = 25
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(x, w)
+    mu, sd, ssq = mov_stats(x, w)
+    np.testing.assert_allclose(mu, wins.mean(axis=1), rtol=1e-12)
+    np.testing.assert_allclose(sd, wins.std(axis=1), rtol=1e-8)
+    m2, invn = muinvn(x, w)
+    np.testing.assert_allclose(invn, 1 / np.sqrt(((wins - wins.mean(axis=1, keepdims=True)) ** 2).sum(axis=1)), rtol=1e-8)
+
+
+def test_movmin_movmax():
+    x = np.array([3.0, 1, 4, 1, 5, 9, 2, 6])
+    np.testing.assert_array_equal(movmin(x, 3), [1, 1, 1, 1, 2, 2])
+    np.testing.assert_array_equal(movmax(x, 3), [4, 4, 5, 9, 9, 9])
+
+
+def test_znorm_flat_degrades_to_centering():
+    x = np.full(10, 7.0)
+    np.testing.assert_array_equal(znorm(x), np.zeros(10))
+    y = znorm(np.arange(10.0))
+    assert abs(y.mean()) < 1e-12 and abs(y.std() - 1) < 1e-12
+
+
+def test_normalize_and_zero_one():
+    x = np.array([2.0, 4.0, 6.0])
+    np.testing.assert_allclose(normalize(x), [0, 0.5, 1])
+    np.testing.assert_allclose(zero_one_norm(x * 3 + 1), [0, 0.5, 1])
+    np.testing.assert_allclose(normalize(x, 1, 3), [1, 2, 3])
+
+
+def test_paa_ipaa_roundtrip_shape():
+    x = np.arange(10.0)
+    d = paa(x, 2)
+    np.testing.assert_allclose(d, [0.5, 2.5, 4.5, 6.5, 8.5])
+    assert len(ipaa(d, 2)) == 10
+    # ragged tail averaged
+    np.testing.assert_allclose(paa(np.arange(5.0), 2), [0.5, 2.5, 4.0])
+
+
+def test_misc_scalars():
+    assert zero_crossings(np.array([1.0, -1, 1, -1])) == 3
+    assert zero_crossings(np.array([1.0, 2, 3])) == 0
+    np.testing.assert_allclose(complexity(np.array([0.0, 3, 0])), np.sqrt(18))
+    assert mode(np.array([1, 2, 2, 3])) == 2
+    np.testing.assert_array_equal(diff_lag(np.array([1.0, 4, 9, 16]), 2), [8, 12])
+
+
+def test_ed_corr_roundtrip():
+    w = 30
+    corr = np.array([-1.0, 0.0, 0.5, 1.0])
+    np.testing.assert_allclose(ed_corr(corr_ed(corr, w), w), corr, atol=1e-12)
+
+
+def test_binary_split_covers_all():
+    for n in (1, 2, 7, 16):
+        s = binary_split(n)
+        assert sorted(s) == list(range(n))
+        assert s[0] == 0
+    assert binary_split(7)[:4] == [0, 3, 1, 5]  # midpoint-first exploration

@@ -1,0 +1,65 @@
+"""Engine-wide configuration and numeric constants.
+
+Mirrors the reference's global options (``/root/reference/R/zzz.R:1-15``:
+``tsmp.exclusion_zone = 1/2``) and eps convention
+(``/root/reference/R/misc.R:1102-1107``: ``eps = .Machine$double.eps^0.5``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+#: sqrt of float64 machine epsilon — the reference's ``vars()$eps``
+#: (/root/reference/R/misc.R:1103). Used for degenerate-window (flat) detection
+#: and exclusion-zone rounding.
+EPS: float = float(np.sqrt(np.finfo(np.float64).eps))
+
+#: default trivial-match exclusion-zone fraction for self-joins
+#: (/root/reference/R/zzz.R:6, /root/reference/R/stomp.R:56).
+DEFAULT_EZ: float = 0.5
+
+#: sentinel for "no neighbor" profile index (reference uses -Inf / NA;
+#: we use -1 in int64 columns, documented in SURVEY.md §4.3).
+PI_SENTINEL: int = -1
+
+#: kmode constant from the reference (/root/reference/R/misc.R:1104-1106).
+KMODE: float = 0.6311142
+
+
+def exclusion_zone(window_size: int, ez: float = DEFAULT_EZ) -> int:
+    """Trivial-match exclusion radius: ``round(w * ez + eps)``.
+
+    Reference: /root/reference/R/stomp.R:56 (self-join), 0 for AB-joins.
+    """
+    return int(round(window_size * ez + EPS))
+
+
+# Rollup tier definitions: name -> bucket width in microseconds.
+TIERS: dict[str, int] = {
+    "1m": 60 * 1_000_000,
+    "1h": 3600 * 1_000_000,
+    "1d": 86400 * 1_000_000,
+}
+
+#: the three per-conversation signals derived from a transcript
+SIGNALS: tuple[str, ...] = ("ts_delta", "text_len", "tool_call")
+
+
+@dataclass
+class EngineConfig:
+    """Top-level knobs for the Ray Data pipelines."""
+
+    window_size: int = 8
+    ez: float = DEFAULT_EZ
+    # convs with more turns than this get salted into diagonal shards
+    salt_turn_threshold: int = 20_000
+    # Ray Data stage sizing
+    batch_size: int = 64 * 1024
+    profile_concurrency: int = 4
+    # rollup
+    tiers: tuple[str, ...] = ("1m", "1h", "1d")
+    gap_fill: bool = True
+    # retention: TTL per tier in microseconds (None = keep forever)
+    ttl_us: dict = field(default_factory=dict)

@@ -1,0 +1,132 @@
+"""mSTOMP — multidimensional matrix profile (k-of-d subset distances).
+
+Re-implementation of the algorithm behind the reference's ``mstomp``
+(/root/reference/R/mstomp.R:59-319): per-dimension STOMP dot-product
+recurrences (mstomp.R:169-207), per-index ascending sort of the d
+z-normalized distances, cumulative means giving the best (k+1)-dimension
+subset distance (mstomp.R:219-259), and ``must_dim``/``exc_dim`` masking
+(mstomp.R:209-217, 266-286).
+
+Output: mp/pi as (d' × p) matrices, row k = the (k+1)-dimensional profile.
+The engine runs this per conversation over the 3 derived transcript signals
+(cadence / text-length / tool-rate), SURVEY.md §1.2.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import DEFAULT_EZ, exclusion_zone
+from .mass import mass_pre, _qt_fft, clean_series
+from .movstats import mov_stats
+
+__all__ = ["mstomp", "MultiMatrixProfile"]
+
+from dataclasses import dataclass
+
+
+@dataclass
+class MultiMatrixProfile:
+    mp: np.ndarray      # (d' × p)
+    pi: np.ndarray      # (d' × p) int64
+    w: int
+    ez: float
+    n_dim: int
+    must: list
+    exc: list
+
+
+def mstomp(
+    data: np.ndarray,
+    w: int,
+    ez: float = DEFAULT_EZ,
+    must_dim: list[int] | None = None,
+    exc_dim: list[int] | None = None,
+) -> MultiMatrixProfile:
+    """``data``: (n × d) float64 matrix (1-D input is treated as n×1)."""
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    n, d = data.shape
+    p = n - w + 1
+    if p < 1:
+        raise ValueError(f"window {w} longer than series {n}")
+    must = sorted(set(must_dim or []))
+    exc = sorted(set(exc_dim or []))
+    if set(must) & set(exc):
+        raise ValueError("must_dim and exc_dim overlap")
+    keep = [j for j in range(d) if j not in exc]
+    n_keep = len(keep)
+    n_must = len(must)
+    zone = exclusion_zone(w, ez)
+
+    # per-dim precomputation
+    xs, mus, sigs, skips, qt0s = [], [], [], [], []
+    for j in keep:
+        xc, skip = clean_series(data[:, j], w)
+        mu, _, ssq = mov_stats(xc, w)
+        sig = np.sqrt(ssq)
+        pre = mass_pre(xc, w)
+        xs.append(xc)
+        mus.append(mu)
+        sigs.append(sig)
+        skips.append(skip)
+        qt0s.append(_qt_fft(pre, xc[:w]))
+    X = np.stack(xs)          # (dk × n)
+    MU = np.stack(mus)        # (dk × p)
+    SIG = np.stack(sigs)
+    SKIP = np.stack(skips)
+    QT_first = np.stack(qt0s)  # row 0 of each dim's QT matrix (== column 0)
+
+    must_mask = np.zeros(n_keep, dtype=bool)
+    for m_dim in must:
+        must_mask[keep.index(m_dim)] = True
+
+    mp = np.full((n_keep, p), np.inf)
+    pi = np.full((n_keep, p), -1, dtype=np.int64)
+
+    qt = QT_first.copy()  # (dk × p): row i of each dim's QT matrix
+    for i in range(p):
+        if i > 0:
+            new = (qt[:, :-1]
+                   - X[:, : p - 1] * X[:, i - 1 : i]
+                   + X[:, w:n] * X[:, i + w - 1 : i + w])
+            qt[:, 1:] = new
+            qt[:, 0] = QT_first[:, i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = (qt - w * MU[:, i : i + 1] * MU) / (SIG[:, i : i + 1] * SIG)
+        corr = np.clip(corr, -1.0, 1.0)
+        # SQUARED distances: the k-of-d average is over squared EDs, sqrt at
+        # the very end (/root/reference/R/mstomp.R:234-263 + sqrt at :262-264)
+        dist = np.maximum(2.0 * w * (1.0 - corr), 0.0)
+        dist[SKIP] = np.inf
+        if SKIP[:, i].any():  # query window degenerate in any kept dim
+            dist[:] = np.inf  # (mstomp.R:204-206)
+        dist[:, max(0, i - zone) : i + zone + 1] = np.inf
+
+        if n_must:
+            # must dims always count; sort only the optional dims
+            base = dist[must_mask].sum(axis=0)
+            opt = np.sort(dist[~must_mask], axis=0)
+            cum = np.vstack([np.zeros(p), np.cumsum(opt, axis=0)]) if opt.size else np.zeros((1, p))
+            for k in range(n_must - 1, n_keep):
+                n_opt = k + 1 - n_must
+                tot = (base + cum[n_opt]) / (k + 1)
+                j = int(np.argmin(tot))
+                if np.isfinite(tot[j]):
+                    mp[k, i] = tot[j]
+                    pi[k, i] = j
+        else:
+            srt = np.sort(dist, axis=0)
+            cum = np.cumsum(srt, axis=0)
+            denom = np.arange(1, n_keep + 1)[:, None]
+            avg = cum / denom
+            j_star = np.argmin(avg, axis=1)
+            vals = avg[np.arange(n_keep), j_star]
+            ok = np.isfinite(vals)
+            mp[ok, i] = vals[ok]
+            pi[ok, i] = j_star[ok]
+
+    mp = np.sqrt(mp)  # back to ED (reference sqrt-at-end, mstomp.R:262-264)
+    return MultiMatrixProfile(mp=mp, pi=pi, w=w, ez=ez, n_dim=n_keep,
+                              must=must, exc=exc)
