@@ -1,0 +1,500 @@
+"""Downstream mining on matrix profiles: motifs, discords, chains, FLUSS/FLOSS
+segmentation, MPdist, snippets, annotation vectors, pan-MP, valmod.
+
+Each function re-implements the *semantics* of the reference (file:line cited
+per function) on numpy arrays; inside the engine they run per conversation in
+``groupby(conv_id).map_groups`` / actor stages (SURVEY.md §2.6, §2.8).
+Conventions: 0-based indices, ED (not squared) distances, pi sentinel -1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import DEFAULT_EZ, EPS, exclusion_zone
+from .mass import mass_pre, mass_v3
+from .movstats import binary_split, complexity, movmin, znorm, zero_crossings, zero_one_norm
+from .mpx import mpx
+from .profile_types import MatrixProfile
+from .stomp import stomp
+
+__all__ = [
+    "find_motifs", "find_discords", "find_chains", "fluss_cac", "fluss_extract",
+    "fluss", "fluss_score", "floss_cac_online", "mpdist", "mpdist_vect",
+    "find_snippet", "av_zerocrossing", "av_complexity", "av_motion_artifact",
+    "av_stop_word", "av_hardlimit_artifact", "av_apply", "pmp", "valmod",
+]
+
+
+# ---------------------------------------------------------------- motifs
+
+
+def _greedy_neighbors(d: np.ndarray, limit: float, zone: int, n_neighbors: int,
+                      seeds: list[int]) -> list[int]:
+    """Pick up to n_neighbors indices by ascending distance, suppressing ±zone
+    around each pick and around ``seeds`` (/root/reference/R/find-motifs.R:129-147)."""
+    d = d.copy()
+    d[d > limit] = np.inf
+    for s in seeds:
+        d[max(0, s - zone) : s + zone + 1] = np.inf
+    out: list[int] = []
+    for _ in range(n_neighbors):
+        j = int(np.argmin(d))
+        if not np.isfinite(d[j]):
+            break
+        out.append(j)
+        d[max(0, j - zone) : j + zone + 1] = np.inf
+    return out
+
+
+def find_motifs(
+    data: np.ndarray,
+    profile: MatrixProfile,
+    n_motifs: int = 3,
+    n_neighbors: int = 10,
+    radius: float = 3.0,
+) -> list[dict]:
+    """Top-k motif pairs + neighbors (/root/reference/R/find-motifs.R:90-157).
+
+    Iteratively: global argmin pair of mp; neighbors = windows whose distance
+    to the first motif window is ≤ radius·motif_distance (dist profile via
+    MASS), suppressing ±ez; then mask all found windows and repeat.
+    """
+    w, ez = profile.w, profile.ez
+    zone = exclusion_zone(w, ez)
+    mp = profile.mp.copy()
+    pre = mass_pre(data, w)
+    motifs = []
+    for _ in range(n_motifs):
+        i = int(np.argmin(mp))
+        if not np.isfinite(mp[i]) or profile.pi[i] < 0:
+            break
+        pair = sorted((i, int(profile.pi[i])))
+        mdist = float(mp[i])
+        d, _qt = mass_v3(pre, data[pair[0] : pair[0] + w])
+        neigh = _greedy_neighbors(d, radius * mdist, zone, n_neighbors, seeds=pair)
+        motifs.append({"motifs": pair, "neighbors": neigh, "distance": mdist, "w": w})
+        for j in pair + neigh:
+            mp[max(0, j - zone) : j + zone + 1] = np.inf
+    return motifs
+
+
+def find_discords(
+    data: np.ndarray,
+    profile: MatrixProfile,
+    n_discords: int = 3,
+    n_neighbors: int = 3,
+    radius: float = 3.0,
+) -> list[dict]:
+    """Top-k discords (/root/reference/R/find-discord.R:87-127): global argmax,
+    neighbors within radius·discord_distance, mask, repeat."""
+    w, ez = profile.w, profile.ez
+    zone = exclusion_zone(w, ez)
+    mp = profile.mp.copy()
+    mp[~np.isfinite(mp)] = -np.inf  # skip windows can't be discords
+    pre = mass_pre(data, w)
+    discords = []
+    for _ in range(n_discords):
+        i = int(np.argmax(mp))
+        if not np.isfinite(mp[i]):
+            break
+        ddist = float(mp[i])
+        d, _qt = mass_v3(pre, data[i : i + w])
+        neigh = _greedy_neighbors(d, radius * ddist, zone, n_neighbors, seeds=[i])
+        discords.append({"discord": i, "neighbors": neigh, "distance": ddist, "w": w})
+        for j in [i] + neigh:
+            mp[max(0, j - zone) : j + zone + 1] = -np.inf
+    return discords
+
+
+def find_chains(profile: MatrixProfile) -> dict:
+    """Time-series chains via lpi/rpi back-pointers
+    (/root/reference/R/find-chains.R:18-77): follow rpi[j] while
+    lpi[rpi[j]] == j; keep chains longer than 2; best = longest, then lowest
+    mean finite rmp."""
+    rpi, lpi, rmp = profile.rpi, profile.lpi, profile.rmp
+    p = len(rpi)
+    visited = np.zeros(p, dtype=bool)
+    chains: list[list[int]] = []
+    lengths = np.ones(p, dtype=np.int64)
+    for i in range(p):
+        if visited[i]:
+            continue
+        chain = [i]
+        j = i
+        while 0 <= rpi[j] < p and lpi[rpi[j]] == j:
+            j = int(rpi[j])
+            visited[j] = True
+            chain.append(j)
+        lengths[i] = len(chain)
+        if len(chain) > 2:
+            chains.append(chain)
+    if not chains:
+        return {"chains": [], "best": []}
+    max_len = max(len(c) for c in chains)
+    best, best_mean = [], np.inf
+    for c in chains:
+        if len(c) != max_len:
+            continue
+        vals = rmp[c]
+        vals = vals[np.isfinite(vals)]
+        m = float(vals.mean()) if len(vals) else np.inf
+        if m < best_mean:
+            best_mean = m
+            best = c
+    return {"chains": chains, "best": best}
+
+
+# ---------------------------------------------------------------- FLUSS
+
+
+def fluss_cac(profile: MatrixProfile, ez_factor: float | None = None) -> np.ndarray:
+    """Corrected arc counts (/root/reference/R/fluss.R:307-355): scatter +1 at
+    min(i, pi), -1 at max, cumsum; divide by the beta(2,2) ideal parabola
+    ``6x(1-x)·n/3``; clamp to 1; force the first/last ``round(w·ez·10)``
+    entries to 1."""
+    pi = profile.pi
+    p = len(pi)
+    if ez_factor is None:
+        ez_factor = profile.ez * 10
+    nnmark = np.zeros(p)
+    valid = (pi >= 0) & (pi < p)
+    i_idx = np.arange(p)[valid]
+    j_idx = pi[valid]
+    np.add.at(nnmark, np.minimum(i_idx, j_idx), 1.0)
+    np.add.at(nnmark, np.maximum(i_idx, j_idx), -1.0)
+    arc = np.cumsum(nnmark)
+    x = np.linspace(0.0, 1.0, p)
+    ideal = 6.0 * x * (1.0 - x) * p / 3.0  # dbeta(x,2,2)·n/3
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.minimum(arc / ideal, 1.0)
+    cac[~np.isfinite(cac)] = 1.0
+    zone = int(round(profile.w * ez_factor + EPS))
+    cac[: min(zone, p)] = 1.0
+    cac[max(p - zone, 0) :] = 1.0
+    return cac
+
+
+def fluss_extract(cac: np.ndarray, w: int, num_segments: int = 1,
+                  ez_factor: float = 5.0) -> list[int]:
+    """Iterative argmin with ±zone suppression, stop when cac ≥ 1
+    (/root/reference/R/fluss.R:254-282)."""
+    cac = cac.copy()
+    zone = int(round(w * ez_factor + EPS))
+    p = len(cac)
+    segs: list[int] = []
+    for _ in range(num_segments):
+        i = int(np.argmin(cac))
+        if cac[i] >= 1:
+            break
+        segs.append(i)
+        cac[max(0, i - zone) : min(p, i + zone)] = np.inf
+    return segs
+
+
+def fluss(data: np.ndarray, w: int, num_segments: int = 1,
+          ez: float = DEFAULT_EZ) -> dict:
+    """Batch segmentation preset: MP → CAC → extract
+    (/root/reference/R/fluss.R:25-31)."""
+    prof = stomp(data, w, ez=ez)
+    cac = fluss_cac(prof)
+    segs = fluss_extract(cac, w, num_segments, ez_factor=ez * 10)
+    return {"cac": cac, "fluss": segs, "profile": prof}
+
+
+def fluss_score(gtruth: np.ndarray, extracted: np.ndarray, data_size: int) -> float:
+    """Sum over ground-truth points of the distance to the closest extracted
+    point, over data size (0 best — /root/reference/R/fluss.R:476-492)."""
+    gtruth = np.atleast_1d(np.asarray(gtruth, dtype=np.float64))
+    extracted = np.atleast_1d(np.asarray(extracted, dtype=np.float64))
+    if len(extracted) == 0:
+        return 1.0
+    minv = np.abs(gtruth[:, None] - extracted[None, :]).min(axis=1)
+    return float(minv.sum() / data_size)
+
+
+def floss_cac_online(pi_window: np.ndarray, w: int, cac_size: int,
+                     online: bool = True) -> np.ndarray:
+    """One-sided (online) CAC over the trailing window of a streaming profile
+    (/root/reference/R/fluss.R:425-433): Kumaraswamy(1.939274, 1.698150) ideal
+    instead of beta(2,2) because arcs can only point right in an append-only
+    stream. ``pi_window`` are profile indices re-based to the window."""
+    p = cac_size
+    nnmark = np.zeros(p)
+    valid = (pi_window >= 0) & (pi_window < p)
+    i_idx = np.arange(len(pi_window))[valid]
+    j_idx = pi_window[valid]
+    np.add.at(nnmark, np.minimum(i_idx, j_idx), 1.0)
+    np.add.at(nnmark, np.maximum(i_idx, j_idx), -1.0)
+    arc = np.cumsum(nnmark)
+    x = np.linspace(0.0, 1.0, p)
+    if online:
+        a, b = 1.939274, 1.698150
+        with np.errstate(invalid="ignore"):
+            ideal = a * b * x ** (a - 1) * (1 - x ** a) ** (b - 1) * p / 4.035477
+    else:
+        ideal = 6.0 * x * (1.0 - x) * p / 3.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.minimum(arc / ideal, 1.0)
+    cac[~np.isfinite(cac) | (cac < 0)] = 1.0
+    zone = exclusion_zone(w, DEFAULT_EZ)
+    cac[: min(zone, p)] = 1.0
+    return cac
+
+
+# ---------------------------------------------------------------- MPdist
+
+
+def _kth_smallest(vals: np.ndarray, k: int) -> float:
+    """k-th smallest (1-based k) with the reference's overflow rule: if
+    k > len, return the max (/root/reference/R/mpdist.R:194-212)."""
+    if len(vals) == 0:
+        return np.inf
+    if k > len(vals):
+        return float(np.max(vals))
+    return float(np.partition(vals, k - 1)[k - 1])
+
+
+def mpdist(a: np.ndarray, b: np.ndarray, w: int, thr: float = 0.05) -> float:
+    """MPdist scalar: k = ceil(thr·(na+nb))-th smallest of the concatenated
+    AB and BA profiles (/root/reference/R/mpdist.R:125-131, 194-212)."""
+    prof = mpx(np.asarray(a, dtype=np.float64), w,
+               query=np.asarray(b, dtype=np.float64))
+    abba = np.concatenate([prof.mp, prof.mpb])
+    k = int(np.ceil(thr * (len(a) + len(b))))
+    return _kth_smallest(abba, max(k, 1))
+
+
+def mpdist_vect(data: np.ndarray, query: np.ndarray, w: int,
+                thr: float = 0.05) -> np.ndarray:
+    """Sliding MPdist of ``query`` against every query-length window of
+    ``data`` (/root/reference/R/mpdist.R:143-182): row dist-profiles per query
+    subsequence; column-min histogram (BA side) + per-row sliding min (AB
+    side) reconstruct each window's AB/BA profile in O(1) amortized."""
+    data = np.asarray(data, dtype=np.float64)
+    query = np.asarray(query, dtype=np.float64)
+    nq, nd = len(query), len(data)
+    num_subseqs = nq - w + 1
+    profile_len = nd - w + 1
+    pre = mass_pre(data, w)
+    mat = np.empty((num_subseqs, profile_len))
+    for i in range(num_subseqs):
+        mat[i], _ = mass_v3(pre, query[i : i + w])
+    col_min = mat.min(axis=0)  # nearest query-subseq for each data window
+    slid_min = np.empty((num_subseqs, profile_len - num_subseqs + 1))
+    for i in range(num_subseqs):
+        slid_min[i] = movmin(mat[i], num_subseqs)
+    out_len = nd - nq + 1
+    k = max(int(np.ceil(thr * 2 * nq)), 1)
+    out = np.empty(out_len)
+    for i in range(out_len):
+        right = col_min[i : i + num_subseqs]
+        left = slid_min[:, i]
+        out[i] = _kth_smallest(np.concatenate([left, right]), k)
+    return out
+
+
+# ---------------------------------------------------------------- snippets
+
+
+def find_snippet(data: np.ndarray, s_size: int, n_snippets: int = 2,
+                 w: int | None = None, thr: float = 0.05) -> dict:
+    """Representative snippets by MPdist coverage
+    (/root/reference/R/find-snippet.R:47-142): candidates at s_size-aligned
+    offsets (zero-padded tail); greedily pick the candidate minimizing the
+    area under elementwise-min of its MPdist profile with the running minimum;
+    then assign per-window regime fractions."""
+    data = np.asarray(data, dtype=np.float64)
+    if w is None:
+        w = s_size // 2
+    if s_size < 4 or len(data) < 2 * s_size or w >= s_size:
+        raise ValueError("bad snippet sizing")
+    pad = int(np.ceil(len(data) / s_size)) * s_size - len(data)
+    padded = np.concatenate([data, np.zeros(pad)])
+    starts = np.arange(0, len(padded) - s_size, s_size)
+    profiles = np.stack([
+        mpdist_vect(padded, padded[s : s + s_size], w, thr=thr) for s in starts
+    ])
+    minis = np.full(profiles.shape[1], np.inf)
+    order: list[int] = []
+    chosen = np.empty((n_snippets, profiles.shape[1]))
+    frac = []
+    for n in range(n_snippets):
+        areas = np.minimum(profiles, minis).sum(axis=1)
+        areas[order] = np.inf  # don't re-pick
+        idx = int(np.argmin(areas))
+        order.append(idx)
+        minis = np.minimum(profiles[idx], minis)
+        chosen[n] = profiles[idx]
+    total_min = chosen.min(axis=0)
+    horizontal = np.zeros(len(total_min), dtype=np.int64)
+    for i in range(n_snippets):
+        a = chosen[i] <= total_min
+        frac.append(float(a.sum() / len(total_min)))
+        total_min = np.where(a, total_min - 1, total_min)  # tie-break
+        for j in starts:
+            seg = a[j : j + s_size]
+            seg[:] = seg.sum() > 0.5 * s_size
+        horizontal[a] = i + 1
+    return {
+        "snippet_idx": [int(starts[i]) for i in order],
+        "snippet_frac": frac,
+        "snippet_size": s_size,
+        "regime": horizontal,
+    }
+
+
+# ---------------------------------------------------------------- annotations
+
+
+def _window_apply(data: np.ndarray, w: int, fn) -> np.ndarray:
+    p = len(data) - w + 1
+    out = np.empty(p)
+    for i in range(p):
+        out[i] = fn(data[i : i + w])
+    return out
+
+
+def av_zerocrossing(data: np.ndarray, w: int) -> np.ndarray:
+    """Favor windows with many zero crossings
+    (/root/reference/R/annotations.R:20-49)."""
+    z = znorm(data)
+    return zero_one_norm(_window_apply(z, w, zero_crossings))
+
+
+def av_complexity(data: np.ndarray, w: int, dilution_factor: float = 0.0) -> np.ndarray:
+    """Favor complex windows (/root/reference/R/annotations.R:68-103)."""
+    z = znorm(data)
+    av = zero_one_norm(_window_apply(z, w, complexity))
+    return (av + dilution_factor) / (dilution_factor + 1.0)
+
+
+def av_motion_artifact(data: np.ndarray, w: int) -> np.ndarray:
+    """Suppress high-variance (motion-artifact) windows: av=1 where window SD
+    below the mean SD (/root/reference/R/annotations.R:122-157)."""
+    z = znorm(data)
+    sds = _window_apply(z, w, lambda s: s.std(ddof=1))
+    return (sds < sds.mean()).astype(np.float64)
+
+
+def av_stop_word(data: np.ndarray, w: int, stop_word_loc: int,
+                 threshold: float = 0.1, ez: float = DEFAULT_EZ) -> np.ndarray:
+    """Suppress windows similar to a 'stop word' window
+    (/root/reference/R/annotations.R:183-230): av = normalized squared
+    distance to the stop word; zero out ±ez around indices below threshold."""
+    z = znorm(data)
+    sw = z[stop_word_loc : stop_word_loc + w]
+    av = zero_one_norm(_window_apply(z, w, lambda s: float(np.sum((s - sw) ** 2))))
+    zone = int(round(w * ez + EPS))
+    p = len(av)
+    for i in np.flatnonzero(av <= threshold):
+        av[max(0, i - zone + 1) : min(i + zone, p)] = 0.0
+    return av
+
+
+def av_hardlimit_artifact(data: np.ndarray, w: int) -> np.ndarray:
+    """Suppress windows touching the global min/max (hard limits)
+    (/root/reference/R/annotations.R:249-285)."""
+    z = znorm(data)
+    mx, mn = z.max(), z.min()
+    av = zero_one_norm(_window_apply(z, w, lambda s: float(((s == mx) | (s == mn)).sum())))
+    return 1.0 - av
+
+
+def av_apply(profile: MatrixProfile, av: np.ndarray) -> MatrixProfile:
+    """Re-rank: mp' = mp + (1-av)·max(mp) (/root/reference/R/annotations.R:305-330)."""
+    out = profile.copy()
+    finite = out.mp[np.isfinite(out.mp)]
+    mx = finite.max() if len(finite) else 0.0
+    out.mp = out.mp + (1.0 - av) * mx
+    out.extra["annotated"] = True
+    return out
+
+
+# ---------------------------------------------------------------- PMP / valmod
+
+
+def pmp(data: np.ndarray, windows: np.ndarray | list[int],
+        ez: float = DEFAULT_EZ, n_windows: int | None = None) -> dict:
+    """Pan-matrix-profile: mpx per window, windows visited in binary-split
+    order so early results cover the sweep (/root/reference/R/pmp.R:166-211).
+    Returns {'pmp': {w: mp}, 'pmpi': {w: pi}, 'w': visited_windows}."""
+    windows = np.asarray(sorted(set(int(w) for w in windows)))
+    order = binary_split(len(windows))
+    if n_windows is not None:
+        order = order[:n_windows]
+    out_p: dict[int, np.ndarray] = {}
+    out_i: dict[int, np.ndarray] = {}
+    visited = []
+    for oi in order:
+        w = int(windows[oi])
+        if len(data) - w + 1 < 2:
+            continue
+        prof = mpx(data, w, ez=ez)
+        out_p[w] = prof.mp
+        out_i[w] = prof.pi
+        visited.append(w)
+    return {"pmp": out_p, "pmpi": out_i, "w": visited}
+
+
+def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
+                    ez: float = DEFAULT_EZ) -> int:
+    """Find the largest useful window: double w until the best correlation in
+    the profile drops below threshold, then refine down in 25% steps
+    (/root/reference/R/pmp.R:262-350, simplified: same stop rule, exact
+    profiles via mpx)."""
+    n = len(data)
+    w = 8
+    last_good = w
+    while w < n // 2:
+        prof = mpx(data, w, ez=ez)
+        finite = prof.mp[np.isfinite(prof.mp)]
+        if len(finite) == 0:
+            break
+        best_corr = 1.0 - (finite.min() ** 2) / (2.0 * w)
+        if best_corr < threshold:
+            break
+        last_good = w
+        w *= 2
+    # refine: back off in 25% steps from the failing w
+    while w > last_good:
+        wt = int(w * 0.75)
+        if wt <= last_good:
+            break
+        prof = mpx(data, wt, ez=ez)
+        finite = prof.mp[np.isfinite(prof.mp)]
+        if len(finite) and 1.0 - (finite.min() ** 2) / (2.0 * wt) >= threshold:
+            last_good = wt
+            break
+        w = wt
+    return last_good
+
+
+def valmod(data: np.ndarray, window_min: int, window_max: int,
+           ez: float = DEFAULT_EZ) -> dict:
+    """Variable-length motif discovery over [window_min, window_max]
+    (/root/reference/R/valmod.R:52-702). This is the exact (`lb=FALSE`,
+    valmod.R:169) sweep: per-window exact MP, length-normalized by
+    ``1/sqrt(w)`` for cross-window comparability, elementwise min across
+    windows keeping the best window per index. The reference's heap-based
+    lower-bound pruning changes speed, not results."""
+    p_out = len(data) - window_min + 1
+    best = np.full(p_out, np.inf)
+    best_w = np.full(p_out, -1, dtype=np.int64)
+    best_pi = np.full(p_out, -1, dtype=np.int64)
+    raw = np.full(p_out, np.inf)  # non-length-normalized variant
+    for w in range(window_min, window_max + 1):
+        p = len(data) - w + 1
+        if p < 2:
+            break
+        prof = mpx(data, w, ez=ez)
+        scaled = prof.mp * np.sqrt(1.0 / w)
+        upd = scaled < best[:p]
+        best[:p][upd] = scaled[upd]
+        raw[:p][upd] = prof.mp[upd]
+        best_w[:p][upd] = w
+        best_pi[:p][upd] = prof.pi[upd]
+    return {"mp": best, "mp_raw": raw, "w": best_w, "pi": best_pi,
+            "window_min": window_min, "window_max": window_max}
