@@ -1,0 +1,195 @@
+"""Ray Data stage tests: events→transcripts derivation vs DuckDB, signal
+derivation + text-equality invariant, tiered rollup vs SQL oracle, tier fold
+identity, gap-fill, distributed profiles vs numpy oracle (incl. salted path).
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tsmp_ray.config import EngineConfig
+from tsmp_ray.kernels import stomp
+from tsmp_ray.sources.transcripts import (
+    TRANSCRIPTS_FROM_EVENTS_SQL, synthetic_transcripts, transcripts_from_events,
+)
+from tsmp_ray.stages.profile_stage import compute_profiles
+from tsmp_ray.stages.rollup import fold_tier, gap_fill_tier, rollup_from_signals
+from tsmp_ray.stages.signals import (
+    add_turn_features, conversation_fingerprints, derive_signals, pack_series,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("events",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    con.execute(f"CREATE VIEW transcripts AS {TRANSCRIPTS_FROM_EVENTS_SQL}")
+    return con
+
+
+def sorted_df(df, keys):
+    return df.sort_values(keys).reset_index(drop=True)
+
+
+def test_transcripts_from_events_matches_sql(ray_session, duck):
+    got = transcripts_from_events(SF).to_pandas()
+    want = duck.sql("SELECT * FROM transcripts").df()
+    got = sorted_df(got, ["conv_id", "turn_idx"])[want.columns.tolist()]
+    want = sorted_df(want, ["conv_id", "turn_idx"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_text_equality_invariant_under_shuffle(ray_session):
+    import ray
+
+    tbl = synthetic_transcripts(n_convs=6, seed=1, mean_turns=60)
+    ds = ray.data.from_arrow(tbl)
+    fp1 = conversation_fingerprints(ds).to_pandas()
+    # a fully reshuffled copy must fingerprint identically (stable order wins)
+    perm = np.random.default_rng(0).permutation(tbl.num_rows)
+    ds2 = ray.data.from_arrow(tbl.take(pa.array(perm))).random_shuffle(seed=5)
+    fp2 = conversation_fingerprints(ds2).to_pandas()
+    a = sorted_df(fp1, ["conv_id"])
+    b = sorted_df(fp2, ["conv_id"])
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_derive_signals_values(ray_session):
+    import ray
+
+    tbl = synthetic_transcripts(n_convs=3, seed=2, mean_turns=50)
+    ds = ray.data.from_arrow(tbl)
+    sig = derive_signals(ds).to_pandas()
+    # oracle: pandas per conv
+    df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"])
+    for conv, g in df.groupby("conv_id"):
+        s = sig[sig.conv_id == conv].sort_values("turn_idx")
+        assert (s["text_len"].to_numpy() ==
+                g["text"].str.len().to_numpy()).all()
+        assert (s["tool_call"].to_numpy() ==
+                (g["tool"] != "").astype(float).to_numpy()).all()
+        ts = g["ts"].astype("int64").to_numpy()
+        want = np.concatenate([[0.0], np.diff(ts).astype(float)])
+        np.testing.assert_allclose(s["ts_delta"].to_numpy(), want)
+
+
+ROLLUP_SQL_1M = """
+WITH sig AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(length(text) AS DOUBLE) AS text_len,
+         CAST(tool <> '' AS DOUBLE)   AS tool_call,
+         CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+              (PARTITION BY conv_id ORDER BY turn_idx), 0) AS DOUBLE) AS ts_delta
+  FROM transcripts
+), long AS (
+  SELECT conv_id, ts, 'ts_delta' AS signal, ts_delta AS v FROM sig
+  UNION ALL
+  SELECT conv_id, ts, 'text_len', text_len FROM sig
+  UNION ALL
+  SELECT conv_id, ts, 'tool_call', tool_call FROM sig
+)
+SELECT conv_id, signal,
+       (epoch_us(ts) // 60000000) * 60000000 AS bucket_ts,
+       count(*) AS n, sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+       sum(v*v) AS sumsq,
+       min(epoch_us(ts)) AS first_ts, arg_min(v, epoch_us(ts)) AS first_v,
+       max(epoch_us(ts)) AS last_ts,  arg_max(v, epoch_us(ts)) AS last_v,
+       sum(v) / count(*) AS mean_v
+FROM long
+GROUP BY 1, 2, 3
+"""
+
+
+def test_rollup_1m_matches_duckdb(ray_session, duck):
+    ds = transcripts_from_events(SF)
+    sig = derive_signals(ds)
+    got = rollup_from_signals(sig, "1m").to_pandas()
+    want = duck.sql(ROLLUP_SQL_1M).df()
+    keys = ["conv_id", "signal", "bucket_ts"]
+    got = sorted_df(got.drop(columns=["gap_filled"]), keys)
+    want = sorted_df(want, keys)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_tier_fold_identity(ray_session):
+    """1h-from-1m partials == 1h-from-raw (continuous-aggregate property)."""
+    import ray
+
+    tbl = synthetic_transcripts(n_convs=5, seed=3, mean_turns=120)
+    sig = derive_signals(ray.data.from_arrow(tbl))
+    t1m = rollup_from_signals(sig, "1m")
+    via_1m = fold_tier(t1m, "1h").to_pandas()
+    direct = rollup_from_signals(sig, "1h").to_pandas()
+    keys = ["conv_id", "signal", "bucket_ts"]
+    pd.testing.assert_frame_equal(sorted_df(via_1m, keys), sorted_df(direct, keys))
+
+
+def test_gap_fill(ray_session):
+    import ray
+
+    # synthetic generator injects a 2h gap mid-conv -> 1m tier must fill
+    tbl = synthetic_transcripts(n_convs=2, seed=4, mean_turns=100)
+    sig = derive_signals(ray.data.from_arrow(tbl))
+    t1m = rollup_from_signals(sig, "1m")
+    filled = gap_fill_tier(t1m, "1m").to_pandas()
+    g = filled[(filled.conv_id == filled.conv_id.iloc[0]) &
+               (filled.signal == "text_len")].sort_values("bucket_ts")
+    bts = g["bucket_ts"].to_numpy()
+    assert (np.diff(bts) == 60_000_000).all(), "buckets contiguous after fill"
+    gaps = g[g.gap_filled]
+    assert len(gaps) > 0
+    assert (gaps["n"] == 0).all()
+    # interpolated means lie between the surrounding real means
+    real = g[~g.gap_filled]["mean_v"]
+    assert gaps["mean_v"].between(real.min() - 1e-9, real.max() + 1e-9).all()
+
+
+def test_distributed_profiles_match_oracle(ray_session):
+    import ray
+
+    tbl = synthetic_transcripts(n_convs=4, seed=6, mean_turns=80)
+    cfg = EngineConfig(window_size=8, profile_concurrency=2,
+                       salt_turn_threshold=10_000)
+    packed = pack_series(ray.data.from_arrow(tbl))
+    prof = compute_profiles(packed, cfg).to_pandas()
+    # oracle: per conv/signal numpy stomp on the stably ordered series
+    df = tbl.to_pandas().sort_values(["conv_id", "turn_idx"])
+    checked = 0
+    for conv, g in df.groupby("conv_id"):
+        series = g["text"].str.len().to_numpy().astype(float)
+        if len(series) < 16:
+            continue
+        want = stomp(series, 8)
+        got = prof[(prof.conv_id == conv) & (prof.signal == "text_len")]
+        got = got.sort_values("window_idx")
+        np.testing.assert_allclose(got["mp"].to_numpy(), want.mp, atol=2e-5)
+        np.testing.assert_allclose(got["rmp"].to_numpy(), want.rmp, atol=2e-5)
+        checked += 1
+    assert checked >= 3
+
+
+def test_salted_path_equals_inline(ray_session):
+    import ray
+
+    tbl = synthetic_transcripts(n_convs=3, seed=7, mean_turns=60,
+                                long_conv_turns=900)
+    packed = pack_series(ray.data.from_arrow(tbl))
+    inline = compute_profiles(
+        packed, EngineConfig(window_size=8, salt_turn_threshold=10_000)
+    ).to_pandas()
+    salted = compute_profiles(
+        packed, EngineConfig(window_size=8, salt_turn_threshold=500,
+                             profile_concurrency=3)
+    ).to_pandas()
+    keys = ["conv_id", "signal", "window_idx"]
+    a = sorted_df(inline, keys)
+    b = sorted_df(salted, keys)
+    np.testing.assert_allclose(a["mp"].to_numpy(), b["mp"].to_numpy(), atol=2e-5)
+    np.testing.assert_allclose(a["rmp"].to_numpy(), b["rmp"].to_numpy(), atol=2e-5)
+    np.testing.assert_allclose(a["lmp"].to_numpy(), b["lmp"].to_numpy(), atol=2e-5)

@@ -1,0 +1,182 @@
+"""Distributed matrix-profile stage.
+
+Packed per-conversation series rows → long-format profile rows
+
+    (conv_id, signal, w, window_idx, mp, pi, lmp, lpi, rmp, rpi)
+
+Two physical plans, chosen per conversation by turn count (SURVEY.md §7.3):
+
+- **inline** (the common case): a stateful actor pool via
+  ``map_batches(ProfileKernel, concurrency=N)`` — per-actor state caches the
+  kernel config; each packed row is one independent numpy kernel call
+  (the engine analog of tsmp running one series in-process).
+
+- **salted shards** (skewed long convs, turn count > cfg.salt_turn_threshold):
+  a single conversation's O(n²) work is split by DIAGONAL RANGES of the mpx
+  recurrence and fanned out as Ray tasks, exactly the reference's own shard
+  plan (query ranges /root/reference/R/stomp-par.R:102-117; parallelFor over
+  diagonals /root/reference/src/mpx.cpp:339-346); partial profiles min-merge
+  (stomp-par.R:249-264 semantics via profile_types.merge_min). Raw tasks are
+  justified here because the unit of work is a *slice of one group*, which
+  the Dataset groupby model cannot express.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_EZ, EngineConfig, exclusion_zone
+from ..kernels.mpx import mpx_diagonals, prepare_series
+from ..kernels.profile_types import MatrixProfile, merge_min
+from ..kernels.stomp import stomp
+from .signals import SIGNAL_COLUMNS
+
+PROFILE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("signal", pa.string()),
+        ("w", pa.int32()),
+        ("window_idx", pa.int64()),
+        ("mp", pa.float64()),
+        ("pi", pa.int64()),
+        ("lmp", pa.float64()),
+        ("lpi", pa.int64()),
+        ("rmp", pa.float64()),
+        ("rpi", pa.int64()),
+    ]
+)
+
+
+def profile_to_rows(conv_id: str, signal: str, prof: MatrixProfile) -> pa.Table:
+    p = len(prof.mp)
+    return pa.table(
+        {
+            "conv_id": pa.array([conv_id] * p),
+            "signal": pa.array([signal] * p),
+            "w": pa.array(np.full(p, prof.w, dtype=np.int32)),
+            "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+            "mp": pa.array(prof.mp),
+            "pi": pa.array(prof.pi),
+            "lmp": pa.array(prof.lmp if prof.lmp is not None else np.full(p, np.inf)),
+            "lpi": pa.array(prof.lpi if prof.lpi is not None else np.full(p, -1, dtype=np.int64)),
+            "rmp": pa.array(prof.rmp if prof.rmp is not None else np.full(p, np.inf)),
+            "rpi": pa.array(prof.rpi if prof.rpi is not None else np.full(p, -1, dtype=np.int64)),
+        },
+        schema=PROFILE_SCHEMA,
+    )
+
+
+class ProfileKernel:
+    """Actor-pool callable: packed conv rows -> profile rows.
+
+    Stateful per the actor-pool pattern: config parsed once in ``__init__``
+    (per actor), numpy kernels per batch in ``__call__``."""
+
+    def __init__(self, window_size: int = 8, ez: float = DEFAULT_EZ,
+                 signals: tuple[str, ...] = SIGNAL_COLUMNS,
+                 algorithm: str = "stomp"):
+        self.w = int(window_size)
+        self.ez = float(ez)
+        self.signals = signals
+        self.algorithm = algorithm
+
+    def _one(self, conv_id: str, series: np.ndarray, signal: str) -> pa.Table | None:
+        if len(series) < 2 * self.w:
+            return None
+        if self.algorithm == "stomp":
+            prof = stomp(series, self.w, ez=self.ez)
+        else:
+            state = prepare_series(series, self.w)
+            zone = exclusion_zone(self.w, self.ez)
+            prof = mpx_diagonals(state, np.arange(zone + 1, state.p), ez=self.ez)
+        return profile_to_rows(conv_id, signal, prof)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        conv_ids = batch["conv_id"].to_pylist()
+        for r, conv_id in enumerate(conv_ids):
+            for sig in self.signals:
+                series = np.asarray(batch[sig][r].as_py(), dtype=np.float64)
+                t = self._one(conv_id, series, sig)
+                if t is not None:
+                    outs.append(t)
+        if not outs:
+            return PROFILE_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+
+def compute_profiles(ds_packed, cfg: EngineConfig):
+    """Packed series Dataset -> profile Dataset, salting long convs.
+
+    The Dataset pipeline handles every conv ≤ salt_turn_threshold through the
+    actor pool; longer convs are pulled (they are by construction FEW — the
+    skewed tail) and sharded over diagonals as Ray tasks.
+    """
+    import ray
+
+    small = ds_packed.filter(
+        expr=f"n_turns <= {cfg.salt_turn_threshold}"
+    )
+    profiles_small = small.map_batches(
+        ProfileKernel,
+        fn_constructor_kwargs={"window_size": cfg.window_size, "ez": cfg.ez},
+        batch_format="pyarrow",
+        batch_size=4,
+        # autoscaling pool: min 1 actor so the pool can never reserve every
+        # CPU and starve the read/shuffle stages (deadlocks a small session)
+        concurrency=(1, cfg.profile_concurrency),
+        num_cpus=1,
+    )
+
+    big_rows = ds_packed.filter(
+        expr=f"n_turns > {cfg.salt_turn_threshold}"
+    ).take_all()  # the skewed tail: a handful of conversations by design
+    if not big_rows:
+        return profiles_small
+
+    shard_tables = [
+        _sharded_profile(row, cfg) for row in big_rows
+    ]
+    ds_big = ray.data.from_arrow(pa.concat_tables(shard_tables))
+    return profiles_small.union(ds_big)
+
+
+def _sharded_profile(row: dict, cfg: EngineConfig) -> pa.Table:
+    """Diagonal-range fan-out for one long conversation (all 3 signals)."""
+    import ray
+
+    conv_id = row["conv_id"]
+    zone = exclusion_zone(cfg.window_size, cfg.ez)
+
+    @ray.remote
+    def _shard(series_ref, w, ez, lo, hi):
+        state = prepare_series(series_ref, w)
+        diags = np.arange(lo, min(hi, state.p), dtype=np.int64)
+        return mpx_diagonals(state, diags, ez=ez)
+
+    outs = []
+    for sig in SIGNAL_COLUMNS:
+        series = np.asarray(row[sig], dtype=np.float64)
+        if len(series) < 2 * cfg.window_size:
+            continue
+        p = len(series) - cfg.window_size + 1
+        n_shards = max(2, cfg.profile_concurrency)
+        # equal-AREA diagonal ranges: diagonal k costs (p-k), so split the
+        # triangle, not the index range (skew note SURVEY.md §7.4)
+        ks = np.arange(zone + 1, p)
+        costs = (p - ks).cumsum()
+        edges = np.searchsorted(costs, np.linspace(0, costs[-1], n_shards + 1)[1:-1])
+        splits = [s for s in np.split(ks, edges) if len(s)]
+        series_ref = ray.put(series)  # broadcast once, not per task
+        futs = [
+            _shard.remote(series_ref, cfg.window_size, cfg.ez,
+                          int(s[0]), int(s[-1]) + 1)
+            for s in splits
+        ]
+        parts = ray.get(futs)
+        merged = parts[0]
+        for prt in parts[1:]:
+            merged = merge_min(merged, prt)
+        outs.append(profile_to_rows(conv_id, sig, merged))
+    return pa.concat_tables(outs) if outs else PROFILE_SCHEMA.empty_table()

@@ -1,0 +1,182 @@
+"""Tiered continuous aggregates: raw → 1m → 1h → 1d with gap-fill.
+
+The rollup kernel is the engine generalization of the reference's
+``fast_avg_sd`` one-pass moving sum/sqrsum/mean/sd
+(/root/reference/R/misc.R:102-134) and its ``paa`` downsampling
+(/root/reference/R/misc.R:463-522): per-bucket partial aggregates
+``(n, sum, min, max, sumsq, first/last by ts)`` are MERGEABLE, so
+
+- ``rollup_from_signals``  : map_batches PARTIAL agg (one row per
+  (conv_id, signal, bucket) per batch — the combiner that keeps the shuffle
+  small) → ``groupby`` FINAL fold,
+- ``fold_tier``            : re-buckets a finished tier's partials into a
+  coarser tier with the exact same fold — so 1h-from-1m == 1h-from-raw
+  (tested point-for-point), the "continuous aggregate" property.
+
+Gap-fill (``gap_fill_tier``): per (conv_id, signal), emit missing buckets
+between a conversation's first and last bucket with ``n = 0``,
+``gap_filled = true`` and ``mean_v`` linearly interpolated between the
+neighboring real buckets (north_star: "raw → 1m → 1h → 1d rollups with
+gap-fill interpolation").
+
+Tier point schema (long format, one row per signal):
+    conv_id:string, signal:string, bucket_ts:timestamp[us],
+    n:int64, sum_v:double, min_v:double, max_v:double, sumsq:double,
+    first_ts:int64, first_v:double, last_ts:int64, last_v:double,
+    mean_v:double, gap_filled:bool
+``sumsq`` is the CENTERED-ready raw sum of squares; variance derivation uses
+``sumsq/n - mean²`` only on demand (documented tradeoff: the partial must be
+mergeable, so global centering isn't available here; values are integral
+µs/lengths/flags so the cancellation risk of the naive form is bounded).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import TIERS
+from .signals import SIGNAL_COLUMNS
+
+PARTIAL_COLUMNS = ["conv_id", "signal", "bucket_ts", "n", "sum_v", "min_v",
+                   "max_v", "sumsq", "first_ts", "first_v", "last_ts", "last_v"]
+
+
+def _bucket(ts_us: np.ndarray, tier: str) -> np.ndarray:
+    width = TIERS[tier]
+    return (ts_us // width) * width
+
+
+def _partial_from_signals(batch: pa.Table, tier: str) -> pa.Table:
+    """Per-batch combiner: wide signal rows -> partial rows per
+    (conv_id, signal, bucket). Vectorized with pandas groupby."""
+    ts_us = batch["ts"].cast(pa.int64()).to_numpy()
+    base = pd.DataFrame(
+        {
+            "conv_id": batch["conv_id"].to_numpy(zero_copy_only=False),
+            "ts_us": ts_us,
+            "bucket_ts": _bucket(ts_us, tier),
+        }
+    )
+    order = np.argsort(ts_us, kind="stable")
+    outs = []
+    for sig in SIGNAL_COLUMNS:
+        v = batch[sig].to_numpy()
+        df = base.assign(v=v, v2=v * v)
+        part = df.groupby(["conv_id", "bucket_ts"], sort=False).agg(
+            n=("v", "size"), sum_v=("v", "sum"), min_v=("v", "min"),
+            max_v=("v", "max"), sumsq=("v2", "sum"),
+            first_ts=("ts_us", "min"), last_ts=("ts_us", "max"),
+        ).reset_index()
+        go = df.iloc[order].groupby(["conv_id", "bucket_ts"], sort=False)["v"]
+        part = part.merge(go.first().rename("first_v"),
+                          on=["conv_id", "bucket_ts"])
+        part = part.merge(go.last().rename("last_v"),
+                          on=["conv_id", "bucket_ts"])
+        part["signal"] = sig
+        outs.append(part)
+    out = pd.concat(outs, ignore_index=True)[PARTIAL_COLUMNS]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _fold_group(batch: pa.Table) -> pa.Table:
+    """Vectorized final fold of ONE (conv_id, signal) group's partials across
+    all its buckets (one output row per bucket). Grouping only on
+    (conv_id, signal) keeps the number of Python group calls = #convs × 3
+    instead of #buckets."""
+    df = batch.to_pandas()
+    agg = df.groupby("bucket_ts", sort=True).agg(
+        n=("n", "sum"), sum_v=("sum_v", "sum"), min_v=("min_v", "min"),
+        max_v=("max_v", "max"), sumsq=("sumsq", "sum"),
+    )
+    firsts = (df.sort_values("first_ts", kind="stable")
+                .groupby("bucket_ts", sort=True)[["first_ts", "first_v"]].first())
+    lasts = (df.sort_values("last_ts", kind="stable")
+               .groupby("bucket_ts", sort=True)[["last_ts", "last_v"]].last())
+    out = agg.join(firsts).join(lasts).reset_index()
+    out.insert(0, "conv_id", df["conv_id"].iloc[0])
+    out.insert(1, "signal", df["signal"].iloc[0])
+    out["mean_v"] = out["sum_v"] / out["n"]
+    out["gap_filled"] = False
+    out = out[["conv_id", "signal", "bucket_ts", "n", "sum_v", "min_v",
+               "max_v", "sumsq", "first_ts", "first_v", "last_ts", "last_v",
+               "mean_v", "gap_filled"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def rollup_from_signals(ds_signals, tier: str):
+    """Wide signal Dataset -> tier points for ``tier`` (partial + final)."""
+    partial = ds_signals.map_batches(
+        lambda b: _partial_from_signals(b, tier), batch_format="pyarrow"
+    )
+    return partial.groupby(["conv_id", "signal"]).map_groups(
+        _fold_group, batch_format="pyarrow"
+    )
+
+
+def fold_tier(ds_tier, to_tier: str):
+    """Finished tier points -> coarser tier by re-bucketing + the same fold.
+    Valid because every column of the partial schema is mergeable."""
+
+    def rebucket(batch: pa.Table) -> pa.Table:
+        real = batch.filter(pc.equal(batch["gap_filled"], False))
+        b = _bucket(real["bucket_ts"].to_numpy(), to_tier)
+        return real.set_column(
+            real.column_names.index("bucket_ts"), "bucket_ts",
+            pa.array(b, pa.int64()),
+        )
+
+    rb = ds_tier.map_batches(rebucket, batch_format="pyarrow")
+    return rb.groupby(["conv_id", "signal"]).map_groups(
+        _fold_group, batch_format="pyarrow"
+    )
+
+
+def gap_fill_tier(ds_tier, tier: str):
+    """Insert missing buckets per (conv_id, signal) with interpolated mean_v.
+
+    Runs per group (a conversation emits at most ~span/width buckets); emitted
+    rows carry n=0, gap_filled=true, min/max/sum/sumsq = NaN.
+    """
+    width = TIERS[tier]
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("bucket_ts", "ascending")])
+        batch = batch.take(order)
+        bts = batch["bucket_ts"].to_numpy()
+        if len(bts) < 2:
+            return batch
+        full = np.arange(bts[0], bts[-1] + width, width)
+        missing = np.setdiff1d(full, bts)
+        if len(missing) == 0:
+            return batch
+        means = batch["mean_v"].to_numpy()
+        interp = np.interp(missing, bts, means)
+        nmiss = len(missing)
+        filler = pa.table(
+            {
+                "conv_id": pa.array([batch["conv_id"][0].as_py()] * nmiss),
+                "signal": pa.array([batch["signal"][0].as_py()] * nmiss),
+                "bucket_ts": pa.array(missing, pa.int64()),
+                "n": pa.array(np.zeros(nmiss, dtype=np.int64)),
+                "sum_v": pa.array(np.full(nmiss, np.nan)),
+                "min_v": pa.array(np.full(nmiss, np.nan)),
+                "max_v": pa.array(np.full(nmiss, np.nan)),
+                "sumsq": pa.array(np.full(nmiss, np.nan)),
+                "first_ts": pa.array(np.full(nmiss, -1, dtype=np.int64)),
+                "first_v": pa.array(np.full(nmiss, np.nan)),
+                "last_ts": pa.array(np.full(nmiss, -1, dtype=np.int64)),
+                "last_v": pa.array(np.full(nmiss, np.nan)),
+                "mean_v": pa.array(interp),
+                "gap_filled": pa.array(np.ones(nmiss, dtype=bool)),
+            }
+        )
+        merged = pa.concat_tables([batch, filler]).combine_chunks()
+        order2 = pc.sort_indices(merged, sort_keys=[("bucket_ts", "ascending")])
+        return merged.take(order2)
+
+    return ds_tier.groupby(["conv_id", "signal"]).map_groups(
+        _fill, batch_format="pyarrow"
+    )

@@ -1,0 +1,125 @@
+"""Per-conversation signal derivation — the engine's ingestion stages.
+
+``add_turn_features``: stateless, vectorized ``map_batches`` over zero-copy
+Arrow batches (pyarrow.compute only): ``text_len = utf8_length(text)``,
+``tool_call = (tool != '')``. No ordering required, so it runs before the
+shuffle and prunes ``text`` off the hot path.
+
+``derive_signals``: THE wide step — ``groupby(conv_id)`` then an in-group
+stable sort by ``turn_idx`` (every kernel is order-dependent; SURVEY.md §7.4)
+and the order-dependent signal ``ts_delta`` (turn cadence in integer
+microseconds; first turn = 0). Emits the wide per-turn signal table
+
+    (conv_id, turn_idx, ts, ts_delta, text_len, tool_call)
+
+consumed by both the tier rollup and the matrix-profile stages. A crc32
+rolling fingerprint of the stably-ordered texts is emitted per conversation by
+``conversation_fingerprints`` — the engine's per-turn text-equality invariant
+(north_rule) is asserted by comparing these between raw input and
+post-shuffle orderings.
+
+Reference mapping: a conversation's ordered signal is the engine analog of
+tsmp's implicit dense 1-D series (SURVEY.md §1.1: no timestamps in the
+reference — indices are the join keys; here (conv_id, turn_idx) is).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SIGNAL_COLUMNS = ("ts_delta", "text_len", "tool_call")
+
+
+def add_turn_features(batch: pa.Table) -> pa.Table:
+    """Vectorized per-batch features; keeps (conv_id, turn_idx, ts) keys."""
+    text_len = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
+    tool_call = pc.cast(pc.not_equal(batch["tool"], ""), pa.float64())
+    return pa.table(
+        {
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "ts": batch["ts"],
+            "text_len": text_len,
+            "tool_call": tool_call,
+        }
+    )
+
+
+def _group_signals(batch: pa.Table) -> pa.Table:
+    """One conversation -> stably ordered wide signal rows."""
+    order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
+    batch = batch.take(order)
+    ts = batch["ts"].cast(pa.int64()).to_numpy()
+    delta = np.empty(len(ts))
+    delta[0] = 0.0
+    if len(ts) > 1:
+        # integer microseconds kept in float64 (exact up to 2^53): sums and
+        # means then match the DuckDB oracle bitwise regardless of fold order;
+        # z-normalized kernels are scale-invariant so units don't matter
+        delta[1:] = np.diff(ts).astype(np.float64)
+    return batch.append_column("ts_delta", pa.array(delta))
+
+
+def derive_signals(ds):
+    """transcript/feature Dataset -> wide signal Dataset (see module doc)."""
+    if "text_len" not in ds.schema().names:
+        ds = ds.map_batches(add_turn_features, batch_format="pyarrow")
+    return ds.groupby("conv_id").map_groups(_group_signals, batch_format="pyarrow")
+
+
+def _fingerprint_group(batch: pa.Table) -> pa.Table:
+    order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
+    batch = batch.take(order)
+    crc = 0
+    for t in batch["text"]:
+        crc = zlib.crc32(t.as_py().encode(), crc)
+    return pa.table(
+        {
+            "conv_id": pa.array([batch["conv_id"][0].as_py()]),
+            "n_turns": pa.array([batch.num_rows], pa.int64()),
+            "text_crc": pa.array([crc], pa.int64()),
+        }
+    )
+
+
+def conversation_fingerprints(ds):
+    """Per-conv (n_turns, crc32-of-texts-in-stable-order) — the per-turn
+    text-equality invariant (north_rule): identical between any two orderings
+    of the same logical table iff per-turn texts match under stable order."""
+    cols = [c for c in ("conv_id", "turn_idx", "text") if c in ds.schema().names]
+    return ds.select_columns(cols).groupby("conv_id").map_groups(
+        _fingerprint_group, batch_format="pyarrow"
+    )
+
+
+def pack_series(ds):
+    """Feature (or wide-signal) Dataset -> one packed row per conversation:
+    (conv_id, n_turns, ts:list<int64>, ts_delta/text_len/tool_call:list<double>).
+    Computes ts_delta itself when absent, so it needs only ONE shuffle from
+    raw per-turn features. This is the unit of work for the matrix-profile
+    actor stages."""
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        if "ts_delta" not in batch.column_names:
+            batch = _group_signals(batch)
+        else:
+            order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
+            batch = batch.take(order)
+        return pa.table(
+            {
+                "conv_id": pa.array([batch["conv_id"][0].as_py()]),
+                "n_turns": pa.array([batch.num_rows], pa.int64()),
+                "ts": pa.array([batch["ts"].cast(pa.int64()).to_numpy()]),
+                "ts_delta": pa.array([batch["ts_delta"].to_numpy()]),
+                "text_len": pa.array([batch["text_len"].to_numpy()]),
+                "tool_call": pa.array([batch["tool_call"].to_numpy()]),
+            }
+        )
+
+    if "text_len" not in ds.schema().names:
+        ds = ds.map_batches(add_turn_features, batch_format="pyarrow")
+    return ds.groupby("conv_id").map_groups(_pack, batch_format="pyarrow")
