@@ -1,0 +1,201 @@
+"""Training-data pipeline ops: dedup family, text analysis, KNN, multimodal
+plumbing. Uses planted-duplicate synthetic docs plus the driver's
+documents/embeddings tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a stream of arrow batches flows through the ray data pipeline today",
+        "matrix profile kernels compute sliding window distances efficiently",
+        "completely unrelated text about cooking pasta with tomato sauce",
+    ]
+    rows = []
+    did = 0
+    for b in base:
+        rows.append((did, b)); did += 1
+    # exact duplicates
+    rows.append((did, base[0])); did += 1
+    rows.append((did, base[1])); did += 1
+    # near duplicate: one word changed
+    rows.append((did, base[0].replace("lazy", "sleepy"))); did += 1
+    # near duplicate: word appended
+    rows.append((did, base[2] + " indeed")); did += 1
+    return pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "text": pa.array([r[1] for r in rows])})
+
+
+def test_exact_dedup(ray_session):
+    import ray
+    from tsmp_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.from_arrow(docs_with_dups())
+    kept = exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # 8 docs, 2 exact dups -> 6 kept, min ids win
+    assert len(kept) == 6
+    assert set(kept["doc_id"]) == {0, 1, 2, 3, 6, 7}
+
+
+def test_minhash_lsh_dedup(ray_session):
+    import ray
+    from tsmp_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = ray.data.from_arrow(docs_with_dups())
+    pairs = minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["doc_id", "dup_id"]].to_numpy()))
+    assert (0, 4) in got          # exact dup pair
+    assert (1, 5) in got
+    assert (0, 6) in got          # near dup (one word)
+    assert (2, 7) in got          # near dup (appended word)
+    assert not any((a == 3 or b == 3) for a, b in got)  # unrelated text clean
+
+
+def test_simhash_dedup(ray_session):
+    import ray
+    from tsmp_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.from_arrow(docs_with_dups())
+    pairs = simhash_dedup(ds, max_hamming=6).to_pandas()
+    got = set(map(tuple, pairs[["doc_id", "dup_id"]].to_numpy()))
+    assert (0, 4) in got and (1, 5) in got  # exact dups hamming 0
+    ham = dict(((a, b), h) for a, b, h in
+               pairs[["doc_id", "dup_id", "hamming"]].to_numpy())
+    assert ham[(0, 4)] == 0
+
+
+def test_ngram_jaccard():
+    from tsmp_ray.stages.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+    mid = ngram_jaccard("a b c d e f g h", "a b c d e f g x")
+    assert 0.3 < mid < 0.9
+
+
+def test_embedding_dedup(ray_session):
+    import ray
+    from tsmp_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.default_rng(2)
+    base = rng.standard_normal((20, 16))
+    dup = base[3] + rng.standard_normal(16) * 0.01  # near-identical to row 3
+    emb = np.vstack([base, dup])
+    tbl = pa.table({"vec_id": pa.array(np.arange(21, dtype=np.int64)),
+                    "embedding": pa.array(list(emb))})
+    pairs = embedding_dedup(ray.data.from_arrow(tbl), threshold=0.95).to_pandas()
+    assert (3, 20) in set(map(tuple, pairs[["vec_id", "dup_id"]].to_numpy()))
+
+
+def test_lang_id():
+    from tsmp_ray.stages.text import LangId
+
+    li = LangId()
+    assert li.classify("the cat is on the mat and it is happy") == "en"
+    assert li.classify("der Hund ist nicht mit der Katze und das ist gut") == "de"
+    assert li.classify("le chat est dans la maison et il est pour dormir") == "fr"
+    assert li.classify("el perro es un animal y no es una planta") == "es"
+    assert li.classify("今天天气很好我们去公园") == "zh"
+
+
+def test_token_counts_and_quality(ray_session):
+    import ray
+    from tsmp_ray.stages.text import QualityScorer, token_counts
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    tc = ds.map_batches(token_counts, batch_format="pyarrow").to_pandas()
+    assert (tc["n_tokens"] > 0).all()
+    assert (tc["n_pieces"] >= tc["n_tokens"]).all()
+    q = ds.map_batches(QualityScorer, batch_format="pyarrow",
+                       concurrency=(1, 2)).to_pandas()
+    assert q["quality"].between(0, 1).all()
+    assert q["punct_ratio"].between(0, 1).all()
+
+
+def test_fingerprints_stability(ray_session):
+    import ray
+    from tsmp_ray.stages.text import fingerprints
+
+    tbl = docs_with_dups()
+    fp = ray.data.from_arrow(tbl).map_batches(fingerprints,
+                                              batch_format="pyarrow").to_pandas()
+    m = dict(zip(fp["doc_id"], fp["fingerprint"]))
+    assert m[0] == m[4]  # identical text -> identical fingerprint
+    assert m[0] != m[3]
+    # near-dup shares most k-min hashes
+    km = dict(zip(fp["doc_id"], fp["kmin_hashes"]))
+    shared = len(set(km[0]) & set(km[6]))
+    assert shared >= len(km[0]) // 2
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray
+    from tsmp_ray.stages.knn import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+    qids = pdf["vec_id"].to_numpy()[:5]
+    qm = emb[:5]
+    got = brute_force_topk(ds, qm, qids, k=7).to_pandas()
+    # numpy oracle
+    nemb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cos = nemb[:5] @ nemb.T
+    for r, q in enumerate(qids):
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -cos[r]))[:7]
+        want_ids = pdf["vec_id"].to_numpy()[order]
+        g = got[got.query_id == q].sort_values("rank")
+        assert list(g["vec_id"]) == list(want_ids)
+        np.testing.assert_allclose(g["cosine"].to_numpy(), cos[r][order],
+                                   atol=1e-12)
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray
+    from tsmp_ray.stages.knn import brute_force_topk, ivf_topk
+
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    pdf = ds.to_pandas()
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+    qids = pdf["vec_id"].to_numpy()[:5]
+    exact = brute_force_topk(ds, emb[:5], qids, k=10).to_pandas()
+    approx = ivf_topk(ds, emb[:5], qids, k=10, n_centroids=8, nprobe=3).to_pandas()
+    recalls = []
+    for q in qids:
+        a = set(exact[exact.query_id == q]["vec_id"])
+        b = set(approx[approx.query_id == q]["vec_id"])
+        recalls.append(len(a & b) / len(a))
+    assert np.mean(recalls) >= 0.6  # nprobe=3/8 buckets
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray
+    from tsmp_ray.stages.multimodal import (
+        DecodeImage, SampleFrames, decode_stage, synthetic_media,
+    )
+
+    tbl = synthetic_media(24, seed=1)
+    ds = ray.data.from_arrow(tbl)
+    feats = decode_stage(ds, fake=True).to_pandas()
+    n_images = sum(1 for k in tbl["kind"].to_pylist() if k == "image")
+    assert len(feats) == n_images
+    assert all(len(f) == 3 + 3 + 16 for f in feats["feature"])
+    # deterministic: same payload -> same features
+    feats2 = decode_stage(ds, fake=True).to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
+    # real decode is an explicit stub
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)._decode(b"x", 4, 4)
+    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": True},
+                            batch_format="pyarrow",
+                            concurrency=(1, 2)).to_pandas()
+    vids = [i for i, k in enumerate(tbl["kind"].to_pylist()) if k == "video"]
+    assert set(frames["media_id"]) == set(tbl["media_id"].to_pylist()[i] for i in vids)
