@@ -1,0 +1,81 @@
+"""Driver-contract mimic: run every queries() entry at sf0.001 and compare
+the SQL-oracle subset against DuckDB with an order-insensitive, column-sorted
+value comparison (the driver's check, approximated)."""
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype(np.float64)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype(np.int64)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def test_all_queries_run_and_oracles_match(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    failures = []
+    for name, fn in qs.items():
+        got = to_pandas(fn(SF))
+        assert len(got) >= 0  # runs, has a schema
+        if name not in oracles:
+            continue
+        want = con.sql(oracles[name]).df()
+        g, w = canon(got), canon(want)
+        if list(g.columns) != list(w.columns):
+            failures.append((name, f"columns {list(g.columns)} != {list(w.columns)}"))
+            continue
+        if len(g) != len(w):
+            failures.append((name, f"rows {len(g)} != {len(w)}"))
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                          check_exact=True)
+        except AssertionError as e:
+            failures.append((name, str(e)[:500]))
+    assert not failures, "\n\n".join(f"== {n}\n{m}" for n, m in failures)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    res = to_pandas(entrymod.entry())
+    assert len(res) > 0
+    assert "bucket_ts" in res.columns

@@ -1,0 +1,502 @@
+"""Driver-facing query catalog: every implemented operator/pipeline from
+SURVEY.md §2 as a callable(sf_dir) plus (where expressible) an ANSI-SQL
+oracle DuckDB runs on the same parquet tables. Column names are kept
+IDENTICAL between the Ray result and the SQL.
+
+Float-compare policy: oracle-checked aggregates use values that are exact in
+float64 (counts, sums of integral µs/lengths/flags, min/max, sum/count means),
+so fold order can't break the driver's value-hash; genuinely lossy floats
+(cosine similarity) are rounded to 6 dp on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import EngineConfig
+from ..sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
+from ..stages import dedup as dd
+from ..stages import knn as knn_mod
+from ..stages import text as text_mod
+from ..stages.compression import pack_rollup_series, unpack_series
+from ..stages.profile_stage import compute_profiles
+from ..stages.rollup import fold_tier, gap_fill_tier, rollup_from_signals
+from ..stages.signals import derive_signals, pack_series
+from ..stages.retention import apply_retention
+from .analyze import build_tiers, extract_mining
+
+CFG = EngineConfig(window_size=8, profile_concurrency=4)
+
+_T = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
+
+SIGNALS_SQL = _T + """
+SELECT conv_id, turn_idx, ts,
+       CAST(length(text) AS DOUBLE) AS text_len,
+       CAST(tool <> '' AS DOUBLE)   AS tool_call,
+       CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY conv_id ORDER BY turn_idx), 0) AS DOUBLE) AS ts_delta
+FROM transcripts
+"""
+
+_TIER_US = {"1m": 60_000_000, "1h": 3_600_000_000, "1d": 86_400_000_000}
+
+ROLLUP_COLUMNS = ["conv_id", "signal", "bucket_ts", "n", "sum_v", "min_v",
+                  "max_v", "first_ts", "first_v", "last_ts", "last_v", "mean_v"]
+
+
+def rollup_sql(tier: str) -> str:
+    width = _TIER_US[tier]
+    return _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, long AS (
+  SELECT conv_id, ts, 'ts_delta' AS signal, ts_delta AS v FROM sig
+  UNION ALL SELECT conv_id, ts, 'text_len', text_len FROM sig
+  UNION ALL SELECT conv_id, ts, 'tool_call', tool_call FROM sig
+)
+SELECT conv_id, signal,
+       (epoch_us(ts) // {width}) * {width} AS bucket_ts,
+       count(*) AS n, sum(v) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+       min(epoch_us(ts)) AS first_ts, arg_min(v, epoch_us(ts)) AS first_v,
+       max(epoch_us(ts)) AS last_ts,  arg_max(v, epoch_us(ts)) AS last_v,
+       sum(v) / count(*) AS mean_v
+FROM long GROUP BY 1, 2, 3
+"""
+
+
+PACKED_SQL = _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, long AS (
+  SELECT conv_id, ts, 'ts_delta' AS signal, ts_delta AS v FROM sig
+  UNION ALL SELECT conv_id, ts, 'text_len', text_len FROM sig
+  UNION ALL SELECT conv_id, ts, 'tool_call', tool_call FROM sig
+)
+SELECT conv_id, signal,
+       (epoch_us(ts) // 60000000) * 60000000 AS bucket_ts,
+       sum(v) / count(*) AS mean_v
+FROM long GROUP BY 1, 2, 3
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+TOKEN_COUNTS_SQL = r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+# cosine computed element-wise in DOUBLE (duckdb's list_cosine_similarity is
+# float32 and disagrees in the 6th decimal); round(6) absorbs the last-ulp
+# difference between sum-product and normalized-matmul orderings
+KNN_SQL = """
+WITH dims AS (SELECT unnest(generate_series(1,
+               (SELECT max(len(embedding)) FROM embeddings))) AS i),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+qe AS (SELECT qid, i, CAST(qe[i] AS DOUBLE) AS v FROM q CROSS JOIN dims),
+ee AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       FROM embeddings CROSS JOIN dims),
+dots AS (
+  SELECT qe.qid, ee.vec_id, sum(qe.v * ee.v) AS dot,
+         sqrt(sum(qe.v * qe.v)) AS nq, sqrt(sum(ee.v * ee.v)) AS ne
+  FROM qe JOIN ee USING (i) GROUP BY 1, 2
+),
+r AS (
+  SELECT qid AS query_id, vec_id, round(dot / (nq * ne), 6) AS cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY round(dot / (nq * ne), 6)
+                            DESC, vec_id) AS rank
+  FROM dots
+)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+"""
+
+
+# ----------------------------------------------------------------- callables
+
+
+def q_transcripts(sf_dir: str):
+    return transcripts_from_events(sf_dir)
+
+
+def _signals(sf_dir: str):
+    return derive_signals(transcripts_from_events(sf_dir))
+
+
+def q_signals(sf_dir: str):
+    return _signals(sf_dir)
+
+
+def _rollup(sf_dir: str, tier: str):
+    sig = _signals(sf_dir)
+    t1m = rollup_from_signals(sig, "1m")
+    if tier == "1m":
+        out = t1m
+    elif tier == "1h":
+        out = fold_tier(t1m, "1h")
+    else:
+        out = fold_tier(fold_tier(t1m, "1h"), "1d")
+    return out.select_columns(ROLLUP_COLUMNS)
+
+
+def q_rollup_1m(sf_dir: str):
+    return _rollup(sf_dir, "1m")
+
+
+def q_rollup_1h(sf_dir: str):
+    return _rollup(sf_dir, "1h")
+
+
+def q_rollup_1d(sf_dir: str):
+    return _rollup(sf_dir, "1d")
+
+
+def q_rollup_packed_roundtrip(sf_dir: str):
+    """1m tier → Gorilla/DoD pack → unpack: must equal the SQL rollup means
+    exactly (bit-exact codec on the wire)."""
+    t1m = rollup_from_signals(_signals(sf_dir), "1m")
+    packed = pack_rollup_series(t1m)
+    return packed.map_batches(unpack_series, batch_format="pyarrow")
+
+
+def q_gap_fill_1m(sf_dir: str):
+    t1m = rollup_from_signals(_signals(sf_dir), "1m")
+    return gap_fill_tier(t1m, "1m").select_columns(
+        ["conv_id", "signal", "bucket_ts", "n", "mean_v", "gap_filled"])
+
+
+def q_retention_1m(sf_dir: str):
+    """TTL filter relative to the dataset's own max bucket (deterministic):
+    keep the trailing 7 days of 1m points."""
+    t1m = rollup_from_signals(_signals(sf_dir), "1m")
+    hi = int(t1m.max("bucket_ts"))
+    return apply_retention(t1m, now_us=hi, ttl_us=7 * 86_400_000_000) \
+        .select_columns(ROLLUP_COLUMNS)
+
+
+def retention_sql() -> str:
+    base = rollup_sql("1m")
+    return f"""WITH base AS ({base})
+SELECT * FROM base
+WHERE bucket_ts >= (SELECT max(bucket_ts) FROM base) - {7 * 86_400_000_000}
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dd.exact_dedup(ds)
+
+
+def q_token_counts(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(text_mod.token_counts, batch_format="pyarrow") \
+        .select_columns(["doc_id", "n_chars", "n_tokens"])
+
+
+def q_doc_quality(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(text_mod.QualityScorer, batch_format="pyarrow",
+                          concurrency=(1, 4))
+
+
+def q_lang_id(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return ds.map_batches(text_mod.LangId, batch_format="pyarrow",
+                          concurrency=(1, 4)) \
+        .select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_fingerprints(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return ds.map_batches(text_mod.fingerprints, batch_format="pyarrow") \
+        .select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dd.minhash_lsh_dedup(ds, threshold=0.7)
+
+
+def q_simhash_dedup(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return dd.simhash_dedup(ds, max_hamming=3)
+
+
+def q_embedding_dedup(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dd.embedding_dedup(ds, threshold=0.98)
+
+
+def _query_vectors(sf_dir: str):
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = ds.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qm = np.stack([np.asarray(e, dtype=np.float64) for e in q["embedding"]])
+    return ds, qm, q["vec_id"].to_numpy()
+
+
+def q_knn_topk(sf_dir: str):
+    ds, qm, qids = _query_vectors(sf_dir)
+    # fetch a small margin then re-rank on ROUNDED cosine with vec_id
+    # tie-break — the exact ordering the SQL oracle uses
+    out = knn_mod.brute_force_topk(ds, qm, qids, k=14).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    out = out.sort_values(["query_id", "cosine", "vec_id"],
+                          ascending=[True, False, True])
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[out["rank"] <= 10].reset_index(drop=True)
+
+
+def q_knn_ivf(sf_dir: str):
+    ds, qm, qids = _query_vectors(sf_dir)
+    return knn_mod.ivf_topk(ds, qm, qids, k=10)
+
+
+def q_profiles(sf_dir: str):
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return compute_profiles(packed, CFG)
+
+
+def q_mining(sf_dir: str):
+    packed = pack_series(transcripts_from_events(sf_dir))
+    prof = compute_profiles(packed, CFG).to_pandas()
+    return extract_mining(prof, packed.to_pandas(), CFG)
+
+
+def q_fluss_segments(sf_dir: str):
+    """Segment positions per conv on the tool_call signal (regime change)."""
+    from ..kernels.mining import fluss
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    rows = []
+    for _, r in packed.iterrows():
+        x = np.asarray(r["tool_call"], dtype=np.float64)
+        if len(x) < 4 * CFG.window_size:
+            continue
+        res = fluss(x, CFG.window_size, num_segments=1)
+        rows.append({"conv_id": r["conv_id"],
+                     "segment": res["fluss"][0] if res["fluss"] else -1})
+    return pd.DataFrame(rows)
+
+
+def q_chains(sf_dir: str):
+    from ..kernels.mining import find_chains
+    from ..kernels.profile_types import MatrixProfile
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    prof = compute_profiles(packed, CFG).to_pandas()
+    rows = []
+    for (conv, sig), g in prof.groupby(["conv_id", "signal"]):
+        g = g.sort_values("window_idx")
+        mpo = MatrixProfile(mp=g["mp"].to_numpy(), pi=g["pi"].to_numpy(),
+                            lmp=g["lmp"].to_numpy(), lpi=g["lpi"].to_numpy(),
+                            rmp=g["rmp"].to_numpy(), rpi=g["rpi"].to_numpy(),
+                            w=int(g["w"].iloc[0]), ez=CFG.ez)
+        res = find_chains(mpo)
+        rows.append({"conv_id": conv, "signal": sig,
+                     "best_chain_len": len(res["best"]),
+                     "n_chains": len(res["chains"])})
+    return pd.DataFrame(rows)
+
+
+def q_mpdist(sf_dir: str):
+    """Pairwise MPdist between the first 6 conversations' text_len series."""
+    from ..kernels.mining import mpdist
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    packed = packed.sort_values("conv_id").head(6)
+    rows = []
+    for i in range(len(packed)):
+        for j in range(i + 1, len(packed)):
+            a = np.asarray(packed.iloc[i]["text_len"], dtype=np.float64)
+            b = np.asarray(packed.iloc[j]["text_len"], dtype=np.float64)
+            rows.append({
+                "conv_a": packed.iloc[i]["conv_id"],
+                "conv_b": packed.iloc[j]["conv_id"],
+                "mpdist": mpdist(a, b, CFG.window_size),
+            })
+    return pd.DataFrame(rows)
+
+
+def q_pmp(sf_dir: str):
+    """Pan-matrix-profile over a window sweep for the longest conversation."""
+    from ..kernels.mining import pmp
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    r = packed.loc[packed["n_turns"].idxmax()]
+    x = np.asarray(r["text_len"], dtype=np.float64)
+    res = pmp(x, windows=[6, 8, 10, 12])
+    rows = []
+    for w in sorted(res["pmp"]):
+        mp = res["pmp"][w]
+        for i, v in enumerate(mp):
+            rows.append({"conv_id": r["conv_id"], "w": w, "window_idx": i,
+                         "mp": v, "pi": int(res["pmpi"][w][i])})
+    return pd.DataFrame(rows)
+
+
+def q_valmod(sf_dir: str):
+    from ..kernels.mining import valmod
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    r = packed.loc[packed["n_turns"].idxmax()]
+    x = np.asarray(r["text_len"], dtype=np.float64)
+    res = valmod(x, 6, 12)
+    return pd.DataFrame({
+        "conv_id": r["conv_id"],
+        "window_idx": np.arange(len(res["mp"])),
+        "mp_norm": res["mp"], "best_w": res["w"], "pi": res["pi"],
+    })
+
+
+def q_mstomp(sf_dir: str):
+    """Multidimensional profile over the 3 signals of each conversation."""
+    from ..kernels.mstomp import mstomp
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    rows = []
+    for _, r in packed.iterrows():
+        sigs = np.stack([np.asarray(r[s], dtype=np.float64)
+                         for s in ("ts_delta", "text_len", "tool_call")], axis=1)
+        if len(sigs) < 2 * CFG.window_size:
+            continue
+        res = mstomp(sigs, CFG.window_size)
+        for k in range(res.mp.shape[0]):
+            for i in range(res.mp.shape[1]):
+                rows.append({"conv_id": r["conv_id"], "k_dim": k + 1,
+                             "window_idx": i, "mp": res.mp[k, i],
+                             "pi": int(res.pi[k, i])})
+    return pd.DataFrame(rows)
+
+
+def q_stompi_streaming(sf_dir: str):
+    """Streaming (incremental) profiles: first 2/3 batch + 1/3 appended via
+    stompi — equals the batch profile (asserted in tests; emitted here)."""
+    from ..kernels.stompi import StreamingProfile
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    rows = []
+    for _, r in packed.iterrows():
+        x = np.asarray(r["text_len"], dtype=np.float64)
+        if len(x) < 4 * CFG.window_size:
+            continue
+        cut = 2 * len(x) // 3
+        sp = StreamingProfile(x[:cut], CFG.window_size)
+        sp.update(x[cut:])
+        for i, v in enumerate(sp.profile.mp):
+            rows.append({"conv_id": r["conv_id"], "window_idx": i, "mp": v,
+                         "pi": int(sp.profile.pi[i])})
+    return pd.DataFrame(rows)
+
+
+def q_annotation(sf_dir: str):
+    """av_complexity over each conv's text_len (per-window annotation)."""
+    from ..kernels.mining import av_complexity
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    rows = []
+    for _, r in packed.iterrows():
+        x = np.asarray(r["text_len"], dtype=np.float64)
+        if len(x) < 2 * CFG.window_size:
+            continue
+        av = av_complexity(x, CFG.window_size)
+        for i, v in enumerate(av):
+            rows.append({"conv_id": r["conv_id"], "window_idx": i, "av": v})
+    return pd.DataFrame(rows)
+
+
+def q_snippets(sf_dir: str):
+    from ..kernels.mining import find_snippet
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    packed = packed[packed["n_turns"] >= 64].sort_values("conv_id").head(5)
+    rows = []
+    for _, r in packed.iterrows():
+        x = np.asarray(r["text_len"], dtype=np.float64)
+        res = find_snippet(x, s_size=16, n_snippets=2, w=8)
+        for rank, (idx, frac) in enumerate(zip(res["snippet_idx"],
+                                               res["snippet_frac"])):
+            rows.append({"conv_id": r["conv_id"], "rank": rank,
+                         "snippet_idx": idx, "fraction": frac})
+    return pd.DataFrame(rows)
+
+
+def q_multimodal(sf_dir: str):
+    import ray
+
+    from ..stages.multimodal import decode_stage, synthetic_media
+
+    ds = ray.data.from_arrow(synthetic_media(64, seed=9))
+    return decode_stage(ds, fake=True)
+
+
+QUERIES = {
+    "transcripts": q_transcripts,
+    "signals": q_signals,
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h": q_rollup_1h,
+    "rollup_1d": q_rollup_1d,
+    "rollup_packed_roundtrip": q_rollup_packed_roundtrip,
+    "gap_fill_1m": q_gap_fill_1m,
+    "retention_1m": q_retention_1m,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "doc_quality": q_doc_quality,
+    "lang_id": q_lang_id,
+    "fingerprints": q_fingerprints,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_dedup": q_embedding_dedup,
+    "knn_topk": q_knn_topk,
+    "knn_ivf": q_knn_ivf,
+    "profiles": q_profiles,
+    "mining": q_mining,
+    "fluss_segments": q_fluss_segments,
+    "chains": q_chains,
+    "mpdist_pairs": q_mpdist,
+    "pmp": q_pmp,
+    "valmod": q_valmod,
+    "mstomp": q_mstomp,
+    "stompi_streaming": q_stompi_streaming,
+    "annotation": q_annotation,
+    "snippets": q_snippets,
+    "multimodal": q_multimodal,
+}
+
+ORACLES = {
+    "transcripts": _T + " SELECT * FROM transcripts",
+    "signals": SIGNALS_SQL,
+    "rollup_1m": rollup_sql("1m"),
+    "rollup_1h": rollup_sql("1h"),
+    "rollup_1d": rollup_sql("1d"),
+    "rollup_packed_roundtrip": PACKED_SQL,
+    "retention_1m": retention_sql(),
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "token_counts": TOKEN_COUNTS_SQL,
+    "knn_topk": KNN_SQL,
+}
