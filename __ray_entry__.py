@@ -19,9 +19,9 @@ from typing import Any
 
 
 def entry() -> Any:
-    from tsmp_ray.pipelines.queries import q_gap_fill_1m
+    from tsmp_ray.pipelines.queries import q_gap_fill_1d
 
-    return q_gap_fill_1m("/root/testdata/sf0.001")
+    return q_gap_fill_1d("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

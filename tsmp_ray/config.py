@@ -61,5 +61,7 @@ class EngineConfig:
     # rollup
     tiers: tuple[str, ...] = ("1m", "1h", "1d")
     gap_fill: bool = True
+    # interpolate across at most this many empty buckets (scale guard)
+    gap_fill_max_buckets: int = 240
     # retention: TTL per tier in microseconds (None = keep forever)
     ttl_us: dict = field(default_factory=dict)

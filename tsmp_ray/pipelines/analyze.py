@@ -25,16 +25,27 @@ from ..stages.signals import derive_signals, pack_series
 
 def build_tiers(ds_signals, cfg: EngineConfig, gap_fill: bool | None = None):
     """signals -> {'1m': ds, '1h': ds, '1d': ds}; coarser tiers fold the finer
-    tier's partials (never re-read raw — the continuous-aggregate property)."""
+    tier's partials (never re-read raw — the continuous-aggregate property).
+
+    The finer tiers are ``materialize()``d before folding: tier points are
+    orders of magnitude smaller than the raw turns (the legitimate
+    small-reused-intermediate case — at 100 TB this would be the tier's
+    parquet write that the next fold reads back), which stops each coarser
+    tier from re-executing the whole upstream lineage.
+
+    Gap-fill interpolation is bounded by ``cfg.gap_fill_max_buckets`` so a
+    sparse series can't explode into one row per empty bucket across months.
+    """
     if gap_fill is None:
         gap_fill = cfg.gap_fill
+    mg = cfg.gap_fill_max_buckets
     tiers = {}
-    t1m = rollup_from_signals(ds_signals, "1m")
-    tiers["1m"] = gap_fill_tier(t1m, "1m") if gap_fill else t1m
-    t1h = fold_tier(t1m, "1h")
-    tiers["1h"] = gap_fill_tier(t1h, "1h") if gap_fill else t1h
+    t1m = rollup_from_signals(ds_signals, "1m").materialize()
+    tiers["1m"] = gap_fill_tier(t1m, "1m", mg) if gap_fill else t1m
+    t1h = fold_tier(t1m, "1h").materialize()
+    tiers["1h"] = gap_fill_tier(t1h, "1h", mg) if gap_fill else t1h
     t1d = fold_tier(t1h, "1d")
-    tiers["1d"] = gap_fill_tier(t1d, "1d") if gap_fill else t1d
+    tiers["1d"] = gap_fill_tier(t1d, "1d", mg) if gap_fill else t1d
     return tiers
 
 

@@ -160,9 +160,12 @@ def q_rollup_packed_roundtrip(sf_dir: str):
     return packed.map_batches(unpack_series, batch_format="pyarrow")
 
 
-def q_gap_fill_1m(sf_dir: str):
+def q_gap_fill_1d(sf_dir: str):
+    """Gap-filled 1d tier (events cadence is hours — the 1d tier is the one
+    with meaningful small gaps; finer tiers use bounded fill, see rollup.py)."""
     t1m = rollup_from_signals(_signals(sf_dir), "1m")
-    return gap_fill_tier(t1m, "1m").select_columns(
+    t1d = fold_tier(fold_tier(t1m, "1h"), "1d")
+    return gap_fill_tier(t1d, "1d").select_columns(
         ["conv_id", "signal", "bucket_ts", "n", "mean_v", "gap_filled"])
 
 
@@ -462,7 +465,7 @@ QUERIES = {
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
     "rollup_packed_roundtrip": q_rollup_packed_roundtrip,
-    "gap_fill_1m": q_gap_fill_1m,
+    "gap_fill_1d": q_gap_fill_1d,
     "retention_1m": q_retention_1m,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,

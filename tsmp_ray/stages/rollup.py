@@ -134,11 +134,16 @@ def fold_tier(ds_tier, to_tier: str):
     )
 
 
-def gap_fill_tier(ds_tier, tier: str):
+def gap_fill_tier(ds_tier, tier: str, max_gap_buckets: int | None = None):
     """Insert missing buckets per (conv_id, signal) with interpolated mean_v.
 
     Runs per group (a conversation emits at most ~span/width buckets); emitted
     rows carry n=0, gap_filled=true, min/max/sum/sumsq = NaN.
+
+    ``max_gap_buckets`` bounds interpolation: gaps wider than this many
+    buckets are left unfilled (interpolating across a week of silence is
+    noise, and unbounded fill inflates sparse series by orders of magnitude —
+    the scale guard). None = fill everything.
     """
     width = TIERS[tier]
 
@@ -148,8 +153,15 @@ def gap_fill_tier(ds_tier, tier: str):
         bts = batch["bucket_ts"].to_numpy()
         if len(bts) < 2:
             return batch
-        full = np.arange(bts[0], bts[-1] + width, width)
-        missing = np.setdiff1d(full, bts)
+        if max_gap_buckets is not None:
+            gaps = np.diff(bts) // width  # buckets between consecutive points
+            fill_from = np.flatnonzero((gaps > 1) & (gaps <= max_gap_buckets))
+            missing = np.concatenate([
+                np.arange(bts[i] + width, bts[i + 1], width) for i in fill_from
+            ]) if len(fill_from) else np.empty(0, dtype=np.int64)
+        else:
+            full = np.arange(bts[0], bts[-1] + width, width)
+            missing = np.setdiff1d(full, bts)
         if len(missing) == 0:
             return batch
         means = batch["mean_v"].to_numpy()

@@ -116,5 +116,9 @@ def read_partitioned(out_dir: str, partition_col: str):
     import ray
 
     man = Manifest(out_dir)
-    paths = [os.path.join(out_dir, key) for key in sorted(man.data["partitions"])]
+    paths = []
+    for key in sorted(man.data["partitions"]):
+        pdir = os.path.join(out_dir, key)
+        paths.extend(sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                            if f.endswith(".parquet")))
     return ray.data.read_parquet(paths)
