@@ -57,11 +57,11 @@ class EngineConfig:
     salt_turn_threshold: int = 20_000
     # Ray Data stage sizing
     batch_size: int = 64 * 1024
-    profile_concurrency: int = 4
+    profile_concurrency: int = 8
     # rollup
     tiers: tuple[str, ...] = ("1m", "1h", "1d")
     gap_fill: bool = True
     # interpolate across at most this many empty buckets (scale guard)
-    gap_fill_max_buckets: int = 240
+    gap_fill_max_buckets: int = 60
     # retention: TTL per tier in microseconds (None = keep forever)
     ttl_us: dict = field(default_factory=dict)

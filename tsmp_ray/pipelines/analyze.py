@@ -39,14 +39,12 @@ def build_tiers(ds_signals, cfg: EngineConfig, gap_fill: bool | None = None):
     if gap_fill is None:
         gap_fill = cfg.gap_fill
     mg = cfg.gap_fill_max_buckets
-    tiers = {}
-    t1m = rollup_from_signals(ds_signals, "1m").materialize()
-    tiers["1m"] = gap_fill_tier(t1m, "1m", mg) if gap_fill else t1m
-    t1h = fold_tier(t1m, "1h").materialize()
-    tiers["1h"] = gap_fill_tier(t1h, "1h", mg) if gap_fill else t1h
-    t1d = fold_tier(t1h, "1d")
-    tiers["1d"] = gap_fill_tier(t1d, "1d", mg) if gap_fill else t1d
-    return tiers
+    # gap-fill is FUSED into each tier's fold (one shuffle per tier); folds
+    # read the finer tier's materialized points and drop its gap rows first
+    t1m = rollup_from_signals(ds_signals, "1m", mg, gap_fill=gap_fill).materialize()
+    t1h = fold_tier(t1m, "1h", mg, gap_fill=gap_fill).materialize()
+    t1d = fold_tier(t1h, "1d", mg, gap_fill=gap_fill)
+    return {"1m": t1m, "1h": t1h, "1d": t1d}
 
 
 def analyze(ds_transcripts, cfg: EngineConfig | None = None):

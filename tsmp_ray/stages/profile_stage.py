@@ -122,7 +122,7 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         ProfileKernel,
         fn_constructor_kwargs={"window_size": cfg.window_size, "ez": cfg.ez},
         batch_format="pyarrow",
-        batch_size=4,
+        batch_size=32,
         # autoscaling pool: min 1 actor so the pool can never reserve every
         # CPU and starve the read/shuffle stages (deadlocks a small session)
         concurrency=(1, cfg.profile_concurrency),

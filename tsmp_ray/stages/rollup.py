@@ -81,11 +81,42 @@ def _partial_from_signals(batch: pa.Table, tier: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _fold_group(batch: pa.Table) -> pa.Table:
+def _fill_df(out: "pd.DataFrame", width: int, max_gap: int | None) -> "pd.DataFrame":
+    """Append gap rows (n=0, gap_filled, interpolated mean_v) to a folded
+    per-(conv,signal) bucket frame. Vectorized; bounded by max_gap buckets."""
+    bts = out["bucket_ts"].to_numpy()
+    if len(bts) < 2:
+        return out
+    if max_gap is not None:
+        gaps = np.diff(bts) // width
+        idx = np.flatnonzero((gaps > 1) & (gaps <= max_gap))
+        missing = (np.concatenate([np.arange(bts[i] + width, bts[i + 1], width)
+                                   for i in idx])
+                   if len(idx) else np.empty(0, dtype=np.int64))
+    else:
+        full = np.arange(bts[0], bts[-1] + width, width)
+        missing = np.setdiff1d(full, bts)
+    if len(missing) == 0:
+        return out
+    filler = pd.DataFrame({
+        "conv_id": out["conv_id"].iloc[0], "signal": out["signal"].iloc[0],
+        "bucket_ts": missing, "n": np.int64(0), "sum_v": np.nan,
+        "min_v": np.nan, "max_v": np.nan, "sumsq": np.nan,
+        "first_ts": np.int64(-1), "first_v": np.nan,
+        "last_ts": np.int64(-1), "last_v": np.nan,
+        "mean_v": np.interp(missing, bts, out["mean_v"].to_numpy()),
+        "gap_filled": True,
+    })
+    return (pd.concat([out, filler], ignore_index=True)
+              .sort_values("bucket_ts", kind="stable").reset_index(drop=True))
+
+
+def _fold_group(batch: pa.Table, width: int | None = None,
+                max_gap: int | None = None) -> pa.Table:
     """Vectorized final fold of ONE (conv_id, signal) group's partials across
     all its buckets (one output row per bucket). Grouping only on
     (conv_id, signal) keeps the number of Python group calls = #convs × 3
-    instead of #buckets."""
+    instead of #buckets. Optional fused gap-fill (saves a second shuffle)."""
     df = batch.to_pandas()
     agg = df.groupby("bucket_ts", sort=True).agg(
         n=("n", "sum"), sum_v=("sum_v", "sum"), min_v=("min_v", "min"),
@@ -103,22 +134,30 @@ def _fold_group(batch: pa.Table) -> pa.Table:
     out = out[["conv_id", "signal", "bucket_ts", "n", "sum_v", "min_v",
                "max_v", "sumsq", "first_ts", "first_v", "last_ts", "last_v",
                "mean_v", "gap_filled"]]
+    if width is not None:
+        out = _fill_df(out, width, max_gap)
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def rollup_from_signals(ds_signals, tier: str):
-    """Wide signal Dataset -> tier points for ``tier`` (partial + final)."""
+def rollup_from_signals(ds_signals, tier: str, gap_fill_max: int | None = None,
+                        gap_fill: bool = False):
+    """Wide signal Dataset -> tier points for ``tier`` (partial + final).
+    ``gap_fill=True`` fuses the interpolation into the fold's single shuffle."""
     partial = ds_signals.map_batches(
         lambda b: _partial_from_signals(b, tier), batch_format="pyarrow"
     )
+    width = TIERS[tier] if gap_fill else None
     return partial.groupby(["conv_id", "signal"]).map_groups(
-        _fold_group, batch_format="pyarrow"
+        lambda b: _fold_group(b, width, gap_fill_max), batch_format="pyarrow"
     )
 
 
-def fold_tier(ds_tier, to_tier: str):
+def fold_tier(ds_tier, to_tier: str, gap_fill_max: int | None = None,
+              gap_fill: bool = False):
     """Finished tier points -> coarser tier by re-bucketing + the same fold.
-    Valid because every column of the partial schema is mergeable."""
+    Valid because every column of the partial schema is mergeable. Gap rows of
+    the finer tier are dropped before folding; ``gap_fill=True`` fuses the
+    coarser tier's own fill into the fold shuffle."""
 
     def rebucket(batch: pa.Table) -> pa.Table:
         real = batch.filter(pc.equal(batch["gap_filled"], False))
@@ -129,8 +168,9 @@ def fold_tier(ds_tier, to_tier: str):
         )
 
     rb = ds_tier.map_batches(rebucket, batch_format="pyarrow")
+    width = TIERS[to_tier] if gap_fill else None
     return rb.groupby(["conv_id", "signal"]).map_groups(
-        _fold_group, batch_format="pyarrow"
+        lambda b: _fold_group(b, width, gap_fill_max), batch_format="pyarrow"
     )
 
 

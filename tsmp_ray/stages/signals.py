@@ -64,9 +64,16 @@ def _group_signals(batch: pa.Table) -> pa.Table:
     return batch.append_column("ts_delta", pa.array(delta))
 
 
+def _needs_features(ds) -> bool:
+    # schema(fetch_if_missing=False) avoids triggering a partial execution on
+    # a lazy dataset just to sniff columns; unknown -> assume raw transcripts
+    sch = ds.schema(fetch_if_missing=False)
+    return sch is None or "text_len" not in sch.names
+
+
 def derive_signals(ds):
     """transcript/feature Dataset -> wide signal Dataset (see module doc)."""
-    if "text_len" not in ds.schema().names:
+    if _needs_features(ds):
         ds = ds.map_batches(add_turn_features, batch_format="pyarrow")
     return ds.groupby("conv_id").map_groups(_group_signals, batch_format="pyarrow")
 
@@ -120,6 +127,6 @@ def pack_series(ds):
             }
         )
 
-    if "text_len" not in ds.schema().names:
+    if _needs_features(ds):
         ds = ds.map_batches(add_turn_features, batch_format="pyarrow")
     return ds.groupby("conv_id").map_groups(_pack, batch_format="pyarrow")
