@@ -156,31 +156,31 @@ def synthetic_transcripts(
             gaps[n // 2] += 2 * 3600 * 1e6  # 2h silence at the regime change
         ts = start_ts_us + np.int64(ci) * 86_400_000_000 + np.cumsum(gaps).astype(np.int64)
 
-        # --- text: deterministic pseudo-words reaching the target length
-        texts = []
-        for ln in lengths:
-            words = _WORDS[rng.integers(0, len(_WORDS), size=max(1, ln // 5))]
-            t = " ".join(words)
-            texts.append((t + " " + t)[: max(1, ln)])
+        # --- text: deterministic pseudo-words reaching the target length.
+        # A fixed word-salad template sliced per turn (C-level slicing) keeps
+        # generation O(total_chars) — the signal content lives in len(text).
+        template = " ".join(_WORDS[rng.integers(0, len(_WORDS), size=64)])
+        template = (template + " ") * (int(lengths.max()) // len(template) + 2)
+        texts = [template[: max(1, int(ln))] for ln in lengths]
 
         roles = np.where(is_tool, "tool",
                          np.where(idx % 2 == 0, "user", "assistant"))
 
-        cols["conv_id"].extend([conv] * n)
-        cols["turn_idx"].extend(idx.tolist())
-        cols["role"].extend(roles.tolist())
-        cols["text"].extend(texts)
-        cols["tool"].extend(tools.tolist())
-        cols["ts"].extend(ts.tolist())
+        cols["conv_id"].append(np.full(n, conv))
+        cols["turn_idx"].append(idx)
+        cols["role"].append(roles)
+        cols["text"].append(np.array(texts, dtype=object))
+        cols["tool"].append(tools)
+        cols["ts"].append(ts)
 
     tbl = pa.table(
         {
-            "conv_id": pa.array(cols["conv_id"], pa.string()),
-            "turn_idx": pa.array(cols["turn_idx"], pa.int32()),
-            "role": pa.array(cols["role"], pa.string()),
-            "text": pa.array(cols["text"], pa.string()),
-            "tool": pa.array(cols["tool"], pa.string()),
-            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+            "conv_id": pa.array(np.concatenate(cols["conv_id"]), pa.string()),
+            "turn_idx": pa.array(np.concatenate(cols["turn_idx"]).astype(np.int32)),
+            "role": pa.array(np.concatenate(cols["role"]), pa.string()),
+            "text": pa.array(np.concatenate(cols["text"]), pa.string()),
+            "tool": pa.array(np.concatenate(cols["tool"]), pa.string()),
+            "ts": pa.array(np.concatenate(cols["ts"]), pa.timestamp("us")),
         }
     )
     # emit shuffled: consumers must re-establish stable (conv_id, turn_idx)

@@ -104,6 +104,33 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _bucket_candidates(bucket_ds, keys: list[str]) -> pd.DataFrame:
+    """Candidate pairs from bucket membership WITHOUT a per-bucket map_groups:
+    almost every bucket is a singleton, so a native count() aggregate finds
+    the few hot buckets, whose members are then paired on the driver.
+    Returns a (doc_id, dup_id) DataFrame, doc_id < dup_id, deduplicated."""
+    counts = bucket_ds.groupby(keys).count().to_pandas()
+    cnt_col = [c for c in counts.columns if c not in keys][0]
+    hot = counts[counts[cnt_col] > 1]
+    if len(hot) == 0:
+        return pd.DataFrame({"doc_id": [], "dup_id": []})
+    hot_keys = set(map(tuple, hot[keys].to_numpy()))
+    members = bucket_ds.map_batches(
+        lambda b: b.filter(pa.array([
+            tuple(r) in hot_keys
+            for r in zip(*(b[k].to_numpy() for k in keys))
+        ])),
+        batch_format="pyarrow",
+    ).to_pandas()
+    pairs = set()
+    for _, g in members.groupby(keys):
+        ids = np.sort(g["doc_id"].unique())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((int(ids[i]), int(ids[j])))
+    return pd.DataFrame(sorted(pairs), columns=["doc_id", "dup_id"])
+
+
 # ------------------------------------------------------------------ minhash
 
 
@@ -176,16 +203,7 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
 
     band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_id": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id": ids[a], "dup_id": ids[b]})
-
-    cand = (band_ds.groupby(["band", "bhash"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
-    cand_pdf = cand.to_pandas().drop_duplicates()  # candidate set: small by design
+    cand_pdf = _bucket_candidates(band_ds, ["band", "bhash"])
     ver = []
     if len(cand_pdf):
         # verify on the driver against texts fetched for candidate ids only
@@ -253,17 +271,8 @@ def simhash_dedup(ds, max_hamming: int = 3):
                          "chash": pa.array(np.concatenate(outh)),
                          "doc_id": pa.array(np.concatenate(outd))})
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id": [], "dup_id": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id": ids[a], "dup_id": ids[b]})
-
-    cand = (sig.map_batches(to_chunks, batch_format="pyarrow")
-            .groupby(["chunk", "chash"])
-            .map_groups(bucket_pairs, batch_format="pandas")).to_pandas()
-    cand = cand.drop_duplicates()
+    cand = _bucket_candidates(sig.map_batches(to_chunks, batch_format="pyarrow"),
+                              ["chunk", "chash"])
     sig_pdf = sig.to_pandas()
     sig_map = dict(zip(sig_pdf["doc_id"].tolist(), sig_pdf["simhash"].tolist()))
     ver = []

@@ -1,0 +1,130 @@
+"""FLOSS — streaming semantic segmentation as a keyed Ray actor stage.
+
+Engine analog of the reference's online loop (``floss()``
+/root/reference/R/fluss.R:66-137: chunks of new points → ``stompi_update`` →
+``floss_cac`` one-sided corrected arc counts → threshold extraction
+``floss_extract`` fluss.R:163-230), re-hosted as per-conversation keyed state
+inside an actor (SURVEY.md §3.3): {tail buffer, profile arrays, cac_final,
+offset} per conv. The same shape is the template for incremental tier updates.
+
+Ordering contract: batches must arrive per conv in turn order (the engine's
+stable (conv_id, turn_idx) invariant). No watermark/late data — matching the
+reference's in-order append assumption (SURVEY.md §2.10).
+
+Use ``FlossActor`` directly for true streaming (feed micro-batches), or
+``floss_over_dataset`` to run it distributed per conversation over a packed
+Dataset (each conv replayed in chunks inside ``map_batches`` actors).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_EZ, EPS
+from ..kernels.mining import floss_cac_online
+from ..kernels.stompi import StreamingProfile
+
+
+class FlossState:
+    """Per-conversation FLOSS state (one entry in the actor's dict)."""
+
+    def __init__(self, w: int, data_window: int, ez: float = DEFAULT_EZ,
+                 threshold: float = 0.35):
+        if data_window <= w:
+            raise ValueError("data_window must exceed window_size")
+        self.w = w
+        self.ez = ez
+        self.data_window = data_window
+        self.threshold = threshold
+        self.buffer = np.empty(0)
+        self.sp: StreamingProfile | None = None
+        self.cac_final: list[float] = []
+        self.segments: list[int] = []
+        self.seg_vals: list[float] = []
+        self.seen = 0  # total points ever appended
+
+    def append(self, new_data: np.ndarray, chunk: int = 50) -> None:
+        new_data = np.atleast_1d(np.asarray(new_data, dtype=np.float64))
+        for lo in range(0, len(new_data), chunk):
+            self._append_chunk(new_data[lo : lo + chunk])
+
+    def _append_chunk(self, x: np.ndarray) -> None:
+        self.seen += len(x)
+        if self.sp is None:
+            self.buffer = np.concatenate([self.buffer, x])
+            if len(self.buffer) >= max(2 * self.w, self.w + 2):
+                self.sp = StreamingProfile(self.buffer, self.w, ez=self.ez,
+                                           history_size=self.data_window)
+            return
+        self.sp.update(x)
+        # one-sided CAC over the trailing window, online (Kumaraswamy) ideal
+        pi = self.sp.profile.pi
+        cac_size = min(len(pi), self.data_window - self.w + 1)
+        pi_win = pi[-cac_size:].copy()
+        base = len(pi) - cac_size
+        valid = pi_win >= 0
+        pi_win[valid] -= base
+        cac = floss_cac_online(pi_win, self.w, cac_size,
+                               online=self.sp.offset > 0)
+        # extend the global cac record by the newly covered points
+        self.cac_final.extend(cac[-len(x):].tolist())
+        self._extract(cac, base_offset=self.sp.offset + base)
+
+    def _extract(self, cac: np.ndarray, base_offset: int) -> None:
+        """Threshold extraction with exclusion handling (fluss.R:163-230)."""
+        zone = int(round(self.w * self.ez * 10 + EPS))
+        idx = int(np.argmin(cac))
+        val = float(cac[idx])
+        if val > self.threshold:
+            return
+        real = base_offset + idx
+        if self.segments:
+            last = self.segments[-1]
+            if real <= last:
+                return
+            if real < last + zone:
+                if val < self.seg_vals[-1]:
+                    self.segments[-1] = real
+                    self.seg_vals[-1] = val
+                return
+        self.segments.append(real)
+        self.seg_vals.append(val)
+
+
+class FlossActor:
+    """map_batches actor: each packed-conv row is replayed chunkwise through
+    a FlossState; emits (conv_id, n_segments, segments list, last_cac)."""
+
+    def __init__(self, window_size: int = 8, data_window: int = 200,
+                 threshold: float = 0.35, signal: str = "tool_call",
+                 chunk: int = 50):
+        self.w = window_size
+        self.data_window = data_window
+        self.threshold = threshold
+        self.signal = signal
+        self.chunk = chunk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        conv_ids, segs, nseg = [], [], []
+        for r in range(batch.num_rows):
+            x = np.asarray(batch[self.signal][r].as_py(), dtype=np.float64)
+            st = FlossState(self.w, self.data_window, threshold=self.threshold)
+            st.append(x, chunk=self.chunk)
+            conv_ids.append(batch["conv_id"][r].as_py())
+            segs.append(np.array(st.segments, dtype=np.int64))
+            nseg.append(len(st.segments))
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_ids, pa.string()),
+                "n_segments": pa.array(nseg, pa.int64()),
+                "segments": pa.array(segs, pa.list_(pa.int64())),
+            }
+        )
+
+
+def floss_over_dataset(ds_packed, **kwargs):
+    return ds_packed.map_batches(
+        FlossActor, fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 4),
+    )

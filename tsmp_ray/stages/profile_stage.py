@@ -75,7 +75,7 @@ class ProfileKernel:
 
     def __init__(self, window_size: int = 8, ez: float = DEFAULT_EZ,
                  signals: tuple[str, ...] = SIGNAL_COLUMNS,
-                 algorithm: str = "stomp"):
+                 algorithm: str = "mpx"):
         self.w = int(window_size)
         self.ez = float(ez)
         self.signals = signals
@@ -115,6 +115,10 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
     """
     import ray
 
+    # one materialization so the small/big split doesn't re-execute the
+    # upstream shuffle twice (at 100 TB this is the packed-series parquet
+    # checkpoint both consumers read back)
+    ds_packed = ds_packed.materialize()
     small = ds_packed.filter(
         expr=f"n_turns <= {cfg.salt_turn_threshold}"
     )
@@ -122,7 +126,10 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         ProfileKernel,
         fn_constructor_kwargs={"window_size": cfg.window_size, "ez": cfg.ez},
         batch_format="pyarrow",
-        batch_size=32,
+        # one conversation per actor call: conv sizes are Zipf-skewed, so
+        # per-row dispatch gives the scheduler real load balancing (a 32-row
+        # batch serializes 32 kernels behind one actor)
+        batch_size=1,
         # autoscaling pool: min 1 actor so the pool can never reserve every
         # CPU and starve the read/shuffle stages (deadlocks a small session)
         concurrency=(1, cfg.profile_concurrency),

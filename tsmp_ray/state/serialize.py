@@ -1,0 +1,89 @@
+"""JSON serialization of profile objects — the reference's stable external
+representation (/root/reference/R/serialize.R:29-176): 19-digit float
+precision, 0-based profile indexes on disk, class/algorithm/metric attributes
+embedded, Inf encoded as the string "Inf" (JSON has no Inf literal).
+
+Our in-memory indexes are already 0-based (SURVEY.md §4.3), so only the
+sentinel mapping differs: -1 in memory ↔ null on disk.
+Round-trip is exact for float64 (repr with 17 significant digits).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from ..kernels.profile_types import MatrixProfile
+
+
+def _enc_floats(a: np.ndarray) -> list:
+    out = []
+    for v in a:
+        if np.isinf(v):
+            out.append("Inf" if v > 0 else "-Inf")
+        elif np.isnan(v):
+            out.append("NaN")
+        else:
+            out.append(float(repr(float(v))))
+    return out
+
+
+def _dec_floats(xs: list) -> np.ndarray:
+    m = {"Inf": np.inf, "-Inf": -np.inf, "NaN": np.nan}
+    return np.array([m.get(x, x) for x in xs], dtype=np.float64)
+
+
+def _enc_idx(a: np.ndarray | None) -> list | None:
+    if a is None:
+        return None
+    return [None if v < 0 else int(v) for v in a]
+
+
+def _dec_idx(xs: list | None) -> np.ndarray | None:
+    if xs is None:
+        return None
+    return np.array([-1 if x is None else int(x) for x in xs], dtype=np.int64)
+
+
+def write_profile(prof: MatrixProfile, path: str) -> None:
+    doc = {
+        "class": "MatrixProfile",
+        "algorithm": prof.algorithm,
+        "metric": "znorm_euclidean",
+        "version": 1,
+        "w": int(prof.w),
+        "ez": float(prof.ez),
+        "join": bool(prof.join),
+        "mp": _enc_floats(prof.mp),
+        "pi": _enc_idx(prof.pi),
+        "lmp": None if prof.lmp is None else _enc_floats(prof.lmp),
+        "lpi": _enc_idx(prof.lpi),
+        "rmp": None if prof.rmp is None else _enc_floats(prof.rmp),
+        "rpi": _enc_idx(prof.rpi),
+        "mpb": None if prof.mpb is None else _enc_floats(prof.mpb),
+        "pib": _enc_idx(prof.pib),
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def read_profile(path: str) -> MatrixProfile:
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("class") != "MatrixProfile":
+        raise ValueError(f"not a MatrixProfile JSON: {path}")
+    return MatrixProfile(
+        mp=_dec_floats(doc["mp"]),
+        pi=_dec_idx(doc["pi"]),
+        w=int(doc["w"]),
+        ez=float(doc["ez"]),
+        lmp=None if doc.get("lmp") is None else _dec_floats(doc["lmp"]),
+        lpi=_dec_idx(doc.get("lpi")),
+        rmp=None if doc.get("rmp") is None else _dec_floats(doc["rmp"]),
+        rpi=_dec_idx(doc.get("rpi")),
+        mpb=None if doc.get("mpb") is None else _dec_floats(doc["mpb"]),
+        pib=_dec_idx(doc.get("pib")),
+        join=bool(doc.get("join", False)),
+        algorithm=doc.get("algorithm", ""),
+    )
