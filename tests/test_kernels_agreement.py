@@ -228,3 +228,26 @@ def test_mstomp_must_exc():
     # row 0 = {dim1} alone; equals stomp on dim 1
     st = stomp(data[:, 1], w)
     np.testing.assert_allclose(ms.mp[0], st.mp, atol=ATOL)
+
+
+def test_blocked_kernel_agreement():
+    from tsmp_ray.kernels.block_join import blocked_mp
+
+    for maker, w in [(lambda: random_walk(400), 8),
+                     (sinusoid_with_motifs, 16),
+                     (lambda: random_walk(1300), 30)]:
+        x = maker()
+        assert_profiles_equal(blocked_mp(x, w), brute_mp(x, w))
+
+
+def test_blocked_kernel_flat_and_nan():
+    x = random_walk(600)
+    x[100:160] = 2.0
+    x[400:404] = np.nan
+    for w in (8, 16):
+        a = blocked := __import__("tsmp_ray.kernels.block_join",
+                                  fromlist=["blocked_mp"]).blocked_mp(x, w)
+        b = brute_mp(x, w)
+        assert (np.isfinite(a.mp) == np.isfinite(b.mp)).all()
+        fin = np.isfinite(a.mp)
+        np.testing.assert_allclose(a.mp[fin], b.mp[fin], atol=ATOL)

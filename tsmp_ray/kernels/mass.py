@@ -43,7 +43,14 @@ def clean_series(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
     c = np.concatenate(([0], np.cumsum(bad.astype(np.int64))))
     has_bad = (c[w:] - c[:-w]) > 0
     _, sd, _ = mov_stats(xc, w)
-    skip = has_bad | (sd < EPS)
+    # truly-flat windows detected EXACTLY via sliding min==max: the cumsum
+    # variance can round a zero variance up past EPS on large-offset series,
+    # which would let different kernels disagree on skip locations
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    wins = sliding_window_view(xc, w)
+    flat = wins.min(axis=1) == wins.max(axis=1)
+    skip = has_bad | (sd < EPS) | flat
     return xc, skip
 
 

@@ -75,10 +75,14 @@ class ProfileKernel:
 
     def __init__(self, window_size: int = 8, ez: float = DEFAULT_EZ,
                  signals: tuple[str, ...] = SIGNAL_COLUMNS,
-                 algorithm: str = "mpx"):
+                 algorithm: str = "auto"):
         self.w = int(window_size)
         self.ez = float(ez)
         self.signals = signals
+        if algorithm == "auto":
+            # small windows: blocked BLAS brute (cache-resident, scales across
+            # actors); large windows: mpx diagonals (O(n²) beats O(n²w))
+            algorithm = "blocked" if self.w <= 32 else "mpx"
         self.algorithm = algorithm
 
     def _one(self, conv_id: str, series: np.ndarray, signal: str) -> pa.Table | None:
@@ -86,6 +90,10 @@ class ProfileKernel:
             return None
         if self.algorithm == "stomp":
             prof = stomp(series, self.w, ez=self.ez)
+        elif self.algorithm == "blocked":
+            from ..kernels.block_join import blocked_mp
+
+            prof = blocked_mp(series, self.w, ez=self.ez)
         else:
             state = prepare_series(series, self.w)
             zone = exclusion_zone(self.w, self.ez)
@@ -97,7 +105,8 @@ class ProfileKernel:
         conv_ids = batch["conv_id"].to_pylist()
         for r, conv_id in enumerate(conv_ids):
             for sig in self.signals:
-                series = np.asarray(batch[sig][r].as_py(), dtype=np.float64)
+                # zero-copy-ish: ListScalar.values -> numpy, not .as_py()
+                series = batch[sig][r].values.to_numpy(zero_copy_only=False)                     .astype(np.float64, copy=False)
                 t = self._one(conv_id, series, sig)
                 if t is not None:
                     outs.append(t)
