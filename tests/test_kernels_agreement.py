@@ -241,12 +241,13 @@ def test_blocked_kernel_agreement():
 
 
 def test_blocked_kernel_flat_and_nan():
+    from tsmp_ray.kernels.block_join import blocked_mp
+
     x = random_walk(600)
     x[100:160] = 2.0
     x[400:404] = np.nan
     for w in (8, 16):
-        a = blocked := __import__("tsmp_ray.kernels.block_join",
-                                  fromlist=["blocked_mp"]).blocked_mp(x, w)
+        a = blocked_mp(x, w)
         b = brute_mp(x, w)
         assert (np.isfinite(a.mp) == np.isfinite(b.mp)).all()
         fin = np.isfinite(a.mp)
