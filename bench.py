@@ -30,10 +30,13 @@ import time
 #: synthetic workload sizing per driver scale factor:
 #: (n_convs, mean_turns, long_conv_turns) — long conv exceeds the salting
 #: threshold to exercise diagonal sharding
+#: (n_convs, mean_turns, long_conv_turns, max_turns): the zipf tail is capped
+#: BELOW the salting threshold (20k) so exactly one forced conversation
+#: exercises the diagonal-shard path
 BENCH_SHAPES = {
-    "sf0.001": (20, 120, 2_000),
-    "sf0.01": (80, 300, 8_000),
-    "sf0.1": (300, 600, 24_000),
+    "sf0.001": (20, 120, 2_000, 1_000),
+    "sf0.01": (80, 300, 8_000, 6_000),
+    "sf0.1": (300, 600, 24_000, 12_000),
 }
 
 
@@ -41,7 +44,8 @@ def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
     import pyarrow.parquet as pq
 
     name = os.path.basename(os.path.normpath(sf_dir))
-    n_convs, mean_turns, long_turns = BENCH_SHAPES.get(name, BENCH_SHAPES["sf0.1"])
+    n_convs, mean_turns, long_turns, max_turns = BENCH_SHAPES.get(
+        name, BENCH_SHAPES["sf0.1"])
     path = f"/tmp/tsmp_bench_cache/transcripts_{name}.parquet"
     if not os.path.exists(path):
         from tsmp_ray.sources.transcripts import synthetic_transcripts
@@ -49,7 +53,8 @@ def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tbl = synthetic_transcripts(n_convs=n_convs, seed=42,
                                     mean_turns=mean_turns,
-                                    long_conv_turns=long_turns)
+                                    long_conv_turns=long_turns,
+                                    max_turns=max_turns)
         pq.write_table(tbl, path + ".tmp")
         os.replace(path + ".tmp", path)
     return path, pq.read_metadata(path).num_rows

@@ -1,0 +1,96 @@
+"""User extension surface: a kernel registry.
+
+The reference's extension model is R's S3 generic system — users add
+``find_motif.<Class>`` / ``plot.<Class>`` methods and chain with magrittr
+pipes (/root/reference/R/misc.R:1174-1251, utils-pipe.R:1-22). The engine's
+equivalent is a plain registry: register a named per-conversation kernel
+``fn(series: np.ndarray, **params) -> dict[str, np.ndarray]`` and it becomes
+runnable through the same groupby-apply scaffold as the built-ins
+(``apply_kernel``), including over a packed-series Dataset
+(``kernel_stage``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register_kernel(name: str, fn: Callable | None = None):
+    """Register a per-series kernel (usable as a decorator)."""
+
+    def _do(f: Callable):
+        _REGISTRY[name] = f
+        return f
+
+    if fn is not None:
+        return _do(fn)
+    return _do
+
+
+def get_kernel(name: str) -> Callable:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown kernel {name!r}; registered: {sorted(_REGISTRY)}")
+
+
+def list_kernels() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def kernel_stage(ds_packed, name: str, signal: str = "text_len", **params):
+    """Run a registered kernel per conversation over a packed-series Dataset.
+    The kernel's dict-of-arrays output becomes long rows keyed by
+    (conv_id, idx)."""
+    fn = get_kernel(name)
+
+    def run(batch: pa.Table) -> pa.Table:
+        frames = []
+        for r in range(batch.num_rows):
+            series = batch[signal][r].values.to_numpy(zero_copy_only=False) \
+                .astype(np.float64, copy=False)
+            out = fn(series, **params)
+            n = len(next(iter(out.values())))
+            df = pd.DataFrame({"conv_id": batch["conv_id"][r].as_py(),
+                               "idx": np.arange(n), **out})
+            frames.append(df)
+        if not frames:
+            return pa.table({"conv_id": pa.array([], pa.string()),
+                             "idx": pa.array([], pa.int64())})
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    return ds_packed.map_batches(run, batch_format="pyarrow", batch_size=8)
+
+
+# ---- built-ins exposed through the registry
+
+
+@register_kernel("matrix_profile")
+def _mp_kernel(series: np.ndarray, w: int = 8, ez: float = 0.5):
+    from ..kernels.mpx import mpx
+
+    prof = mpx(series, w, ez=ez)
+    return {"mp": prof.mp, "pi": prof.pi}
+
+
+@register_kernel("cac")
+def _cac_kernel(series: np.ndarray, w: int = 8):
+    from ..kernels.mining import fluss_cac
+    from ..kernels.stomp import stomp
+
+    prof = stomp(series, w)
+    return {"cac": fluss_cac(prof)}
+
+
+@register_kernel("zscore")
+def _zscore_kernel(series: np.ndarray):
+    from ..kernels.movstats import znorm
+
+    return {"z": znorm(series)}

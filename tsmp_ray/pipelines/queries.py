@@ -458,6 +458,74 @@ def q_multimodal(sf_dir: str):
     return decode_stage(ds, fake=True)
 
 
+def q_floss_streaming(sf_dir: str):
+    """Streaming FLOSS segmentation per conversation (keyed actor stage)."""
+    from ..stages.floss_stage import floss_over_dataset
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    out = floss_over_dataset(packed, window_size=CFG.window_size,
+                             data_window=60, threshold=0.6)
+    return out.select_columns(["conv_id", "n_segments"])
+
+
+def q_ab_join(sf_dir: str):
+    """AB similarity join between consecutive conversations' text_len series
+    (both orientations, no exclusion zone)."""
+    from ..kernels.mpx import mpx
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    packed = packed.sort_values("conv_id").head(6).reset_index(drop=True)
+    rows = []
+    for i in range(0, len(packed) - 1, 2):
+        a = np.asarray(packed.iloc[i]["text_len"], dtype=np.float64)
+        b = np.asarray(packed.iloc[i + 1]["text_len"], dtype=np.float64)
+        prof = mpx(a, CFG.window_size, query=b)
+        for j, v in enumerate(prof.mp):
+            rows.append({"conv_a": packed.iloc[i]["conv_id"],
+                         "conv_b": packed.iloc[i + 1]["conv_id"],
+                         "window_idx": j, "mp": v, "pi": int(prof.pi[j])})
+    return pd.DataFrame(rows)
+
+
+def q_sdts(sf_dir: str):
+    """SDTS dictionary learning on a deterministic weakly-labeled series
+    (train + predict + score; model scoring is the broadcast-model stage)."""
+    from ..kernels.sdts import sdts_predict, sdts_score, sdts_train
+
+    rng = np.random.default_rng(21)
+    n, w = 1500, 24
+    x = rng.standard_normal(n) * 0.3
+    label = np.zeros(n, dtype=bool)
+    pat = np.sin(np.linspace(0, 2 * np.pi, w)) * 3
+    for st in np.linspace(60, n - 2 * w, 7).astype(int):
+        x[st : st + w] = pat + rng.standard_normal(w) * 0.1
+        label[st : st + w] = True
+    model = sdts_train(x, label, w)
+    pred = sdts_predict(model, x)
+    score = sdts_score(pred, label[: len(pred)], sub_len=w)
+    return pd.DataFrame([{"n_patterns": len(model.patterns),
+                          "train_score": model.score,
+                          "f_score": score["f_score"],
+                          "precision": score["precision"],
+                          "recall": score["recall"]}])
+
+
+def q_salient(sf_dir: str):
+    """MDL salient subsequences of the longest conversation's text_len."""
+    from ..kernels.salient import salient_subsequences
+    from ..kernels.mpx import mpx
+
+    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
+    r = packed.loc[packed["n_turns"].idxmax()]
+    x = np.asarray(r["text_len"], dtype=np.float64)
+    prof = mpx(x, CFG.window_size)
+    sal = salient_subsequences(x, prof, n_bits=6, n_cand=8)
+    return pd.DataFrame({"conv_id": r["conv_id"],
+                         "rank": np.arange(len(sal["indexes"])),
+                         "index": sal["indexes"],
+                         "bit_size": sal["idx_bit_size"][: len(sal["indexes"])]})
+
+
 QUERIES = {
     "transcripts": q_transcripts,
     "signals": q_signals,
@@ -489,6 +557,10 @@ QUERIES = {
     "annotation": q_annotation,
     "snippets": q_snippets,
     "multimodal": q_multimodal,
+    "floss_streaming": q_floss_streaming,
+    "ab_join": q_ab_join,
+    "sdts": q_sdts,
+    "salient": q_salient,
 }
 
 ORACLES = {

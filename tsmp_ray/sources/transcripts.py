@@ -113,6 +113,7 @@ def synthetic_transcripts(
     seed: int = 42,
     mean_turns: int = 200,
     long_conv_turns: int | None = None,
+    max_turns: int | None = None,
     start_ts_us: int = 1_704_067_200_000_000,  # 2024-01-01T00:00:00Z
 ) -> pa.Table:
     """Deterministic synthetic transcript table (FIXTURES.md F1).
@@ -127,8 +128,9 @@ def synthetic_transcripts(
     cols: dict[str, list] = {k: [] for k in
                              ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     for ci in range(n_convs):
+        cap = max_turns if max_turns is not None else mean_turns * 40
         n = int(np.clip(rng.zipf(1.6) * mean_turns // 4 + mean_turns // 2,
-                        16, mean_turns * 40))
+                        16, cap))
         if long_conv_turns is not None and ci == 0:
             n = long_conv_turns
         conv = f"conv{ci:06d}"

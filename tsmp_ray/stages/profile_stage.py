@@ -106,7 +106,9 @@ class ProfileKernel:
         for r, conv_id in enumerate(conv_ids):
             for sig in self.signals:
                 # zero-copy-ish: ListScalar.values -> numpy, not .as_py()
-                series = batch[sig][r].values.to_numpy(zero_copy_only=False)                     .astype(np.float64, copy=False)
+                series = (batch[sig][r].values
+                          .to_numpy(zero_copy_only=False)
+                          .astype(np.float64, copy=False))
                 t = self._one(conv_id, series, sig)
                 if t is not None:
                     outs.append(t)
@@ -151,18 +153,20 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
     if not big_rows:
         return profiles_small
 
-    shard_tables = [
-        _sharded_profile(row, cfg) for row in big_rows
-    ]
-    ds_big = ray.data.from_arrow(pa.concat_tables(shard_tables))
+    ds_big = ray.data.from_arrow(_sharded_profiles(big_rows, cfg))
     return profiles_small.union(ds_big)
 
 
-def _sharded_profile(row: dict, cfg: EngineConfig) -> pa.Table:
-    """Diagonal-range fan-out for one long conversation (all 3 signals)."""
+def _sharded_profiles(rows: list[dict], cfg: EngineConfig) -> pa.Table:
+    """Diagonal-range fan-out for the long conversations.
+
+    ALL (conv, signal, diagonal-range) shard tasks are submitted before any
+    result is awaited, so the skewed tail parallelizes across conversations
+    and signals as well as within one profile; partials min-merge per key
+    (the reference's merge contract, /root/reference/R/stomp-par.R:249-264).
+    """
     import ray
 
-    conv_id = row["conv_id"]
     zone = exclusion_zone(cfg.window_size, cfg.ez)
 
     @ray.remote
@@ -171,28 +175,31 @@ def _sharded_profile(row: dict, cfg: EngineConfig) -> pa.Table:
         diags = np.arange(lo, min(hi, state.p), dtype=np.int64)
         return mpx_diagonals(state, diags, ez=ez)
 
-    outs = []
-    for sig in SIGNAL_COLUMNS:
-        series = np.asarray(row[sig], dtype=np.float64)
-        if len(series) < 2 * cfg.window_size:
-            continue
-        p = len(series) - cfg.window_size + 1
-        n_shards = max(2, cfg.profile_concurrency)
-        # equal-AREA diagonal ranges: diagonal k costs (p-k), so split the
-        # triangle, not the index range (skew note SURVEY.md §7.4)
-        ks = np.arange(zone + 1, p)
-        costs = (p - ks).cumsum()
-        edges = np.searchsorted(costs, np.linspace(0, costs[-1], n_shards + 1)[1:-1])
-        splits = [s for s in np.split(ks, edges) if len(s)]
-        series_ref = ray.put(series)  # broadcast once, not per task
-        futs = [
-            _shard.remote(series_ref, cfg.window_size, cfg.ez,
-                          int(s[0]), int(s[-1]) + 1)
-            for s in splits
-        ]
-        parts = ray.get(futs)
-        merged = parts[0]
-        for prt in parts[1:]:
-            merged = merge_min(merged, prt)
-        outs.append(profile_to_rows(conv_id, sig, merged))
+    futs: list[tuple[str, str, object]] = []
+    for row in rows:
+        conv_id = row["conv_id"]
+        for sig in SIGNAL_COLUMNS:
+            series = np.asarray(row[sig], dtype=np.float64)
+            if len(series) < 2 * cfg.window_size:
+                continue
+            p = len(series) - cfg.window_size + 1
+            n_shards = max(2, cfg.profile_concurrency)
+            # equal-AREA diagonal ranges: diagonal k costs (p-k), so split
+            # the triangle, not the index range (skew note SURVEY.md §7.4)
+            ks = np.arange(zone + 1, p)
+            costs = (p - ks).cumsum()
+            edges = np.searchsorted(
+                costs, np.linspace(0, costs[-1], n_shards + 1)[1:-1])
+            splits = [sp for sp in np.split(ks, edges) if len(sp)]
+            series_ref = ray.put(series)  # broadcast once, not per task
+            for sp in splits:
+                futs.append((conv_id, sig,
+                             _shard.remote(series_ref, cfg.window_size,
+                                           cfg.ez, int(sp[0]), int(sp[-1]) + 1)))
+    results = ray.get([f for _, _, f in futs])
+    merged: dict[tuple[str, str], object] = {}
+    for (conv_id, sig, _), part in zip(futs, results):
+        key = (conv_id, sig)
+        merged[key] = part if key not in merged else merge_min(merged[key], part)
+    outs = [profile_to_rows(c, s, prof) for (c, s), prof in merged.items()]
     return pa.concat_tables(outs) if outs else PROFILE_SCHEMA.empty_table()
