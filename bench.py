@@ -34,9 +34,9 @@ import time
 #: BELOW the salting threshold (20k) so exactly one forced conversation
 #: exercises the diagonal-shard path
 BENCH_SHAPES = {
-    "sf0.001": (20, 120, 2_000, 1_000),
-    "sf0.01": (80, 300, 8_000, 6_000),
-    "sf0.1": (300, 600, 24_000, 12_000),
+    "sf0.001": (20, 150, 2_000, 1_200),
+    "sf0.01": (60, 800, 8_000, 6_000),
+    "sf0.1": (500, 2_500, 24_000, 18_000),
 }
 
 
@@ -55,7 +55,7 @@ def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
                                     mean_turns=mean_turns,
                                     long_conv_turns=long_turns,
                                     max_turns=max_turns)
-        pq.write_table(tbl, path + ".tmp")
+        pq.write_table(tbl, path + ".tmp", row_group_size=100_000)
         os.replace(path + ".tmp", path)
     return path, pq.read_metadata(path).num_rows
 
@@ -74,8 +74,12 @@ def headline_pipelines(sf_dir: str):
 
     path, _ = ensure_bench_transcripts(sf_dir)
 
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
     def read_tr():
-        return ray.data.read_parquet(path)
+        # ~2 blocks per CPU: enough sort/shuffle parallelism without the
+        # quadratic shuffle-object overhead of hundreds of tiny partitions
+        return ray.data.read_parquet(path, override_num_blocks=2 * ncpu)
 
     def rollup_tiers():
         tiers = build_tiers(derive_signals(read_tr()), CFG)
@@ -145,6 +149,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N vs 4N parallelism scaling. Levels via $SCALE_LO / $SCALE_HI
+    (default 8 / 32). On one box, 32 worker processes saturate shared
+    DRAM/L2 bandwidth that a real 4N-node cluster would multiply — BASELINE.md
+    records both an unsaturated (2→8) and the saturated (8→32) pair."""
+    lo_n = int(os.environ.get("SCALE_LO", "8"))
+    hi_n = int(os.environ.get("SCALE_HI", "32"))
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -153,17 +164,18 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    run(8)  # warm OS page cache + bench-input cache (untimed)
-    lo = run(8)
-    hi = run(32)
+    run(lo_n)  # warm OS page cache + bench-input cache (untimed)
+    lo = run(lo_n)
+    hi = run(hi_n)
     core = lambda r: r["queries"]["rollup_tiers"] + r["queries"]["profiles"]
-    eff = (core(lo) / core(hi)) / (32 / 8)
+    eff = (core(lo) / core(hi)) / (hi_n / lo_n)
     return {
-        "sec_8": core(lo), "sec_32": core(hi),
-        "turns_per_sec_8": round(lo["n_turns"] / core(lo), 1),
-        "turns_per_sec_32": round(hi["n_turns"] / core(hi), 1),
+        "cpus": [lo_n, hi_n],
+        f"sec_{lo_n}": core(lo), f"sec_{hi_n}": core(hi),
+        f"turns_per_sec_{lo_n}": round(lo["n_turns"] / core(lo), 1),
+        f"turns_per_sec_{hi_n}": round(hi["n_turns"] / core(hi), 1),
         "scaling_efficiency": round(eff, 3),
-        "full_8": lo, "full_32": hi,
+        "full_lo": lo, "full_hi": hi,
     }
 
 

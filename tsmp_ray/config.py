@@ -57,7 +57,7 @@ class EngineConfig:
     salt_turn_threshold: int = 20_000
     # Ray Data stage sizing
     batch_size: int = 64 * 1024
-    profile_concurrency: int = 8
+    profile_concurrency: int | None = None  # None = autosize to cluster CPUs
     # rollup
     tiers: tuple[str, ...] = ("1m", "1h", "1d")
     gap_fill: bool = True

@@ -38,7 +38,7 @@ def _unit_windows(data: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def blocked_mp(data: np.ndarray, w: int, ez: float = DEFAULT_EZ,
-               block: int = 512) -> MatrixProfile:
+               block: int = 256) -> MatrixProfile:
     """Exact self-join MP via blocked unit-window matmuls."""
     Z, skip = _unit_windows(data, w)
     p = Z.shape[0]
@@ -54,21 +54,28 @@ def blocked_mp(data: np.ndarray, w: int, ez: float = DEFAULT_EZ,
     rc = np.full(p, NEG)
     rj = np.full(p, -1, dtype=np.int64)
 
+    any_skip = bool(skip.any())
+    Cbuf = np.empty((block, block))
     for i0 in range(0, p, block):
         i1 = min(i0 + block, p)
         Zi = Z[i0:i1]
         ski = skip[i0:i1]
         for j0 in range(i0, p, block):
             j1 = min(j0 + block, p)
-            if j0 - i1 + 1 > 0 and j0 - i1 + 1 > zone:
-                pass  # fully beyond the zone: no masking needed
-            C = Zi @ Z[j0:j1].T  # unit windows: C IS the correlation
-            C[ski, :] = NEG
-            C[:, skip[j0:j1]] = NEG
-            # exclusion + self/lower masking: pair (i, j) valid iff j > i+zone
-            ii = np.arange(i0, i1)[:, None]
-            jj = np.arange(j0, j1)[None, :]
-            C[jj <= ii + zone] = NEG
+            if i1 - i0 == block and j1 - j0 == block:
+                C = Cbuf  # reuse (np.dot out= needs a C-contiguous array)
+                np.dot(Zi, Z[j0:j1].T, out=C)
+            else:
+                C = Zi @ Z[j0:j1].T  # unit windows: C IS the correlation
+            if any_skip:
+                C[ski, :] = NEG
+                C[:, skip[j0:j1]] = NEG
+            # exclusion + self/lower masking: pair (i, j) valid iff j > i+zone.
+            # Only block pairs touching the diagonal band need the mask.
+            if j0 <= (i1 - 1) + zone:
+                ii = np.arange(i0, i1)[:, None]
+                jj = np.arange(j0, j1)[None, :]
+                C[jj <= ii + zone] = NEG
 
             # row side: j is the RIGHT neighbor of i
             ja = np.argmax(C, axis=1)

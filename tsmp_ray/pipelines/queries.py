@@ -27,7 +27,7 @@ from ..stages.signals import derive_signals, pack_series
 from ..stages.retention import apply_retention
 from .analyze import build_tiers, extract_mining
 
-CFG = EngineConfig(window_size=8, profile_concurrency=16)
+CFG = EngineConfig(window_size=8)
 
 _T = f"WITH transcripts AS ({TRANSCRIPTS_FROM_EVENTS_SQL})"
 

@@ -48,12 +48,21 @@ PROFILE_SCHEMA = pa.schema(
 )
 
 
+def _const_str(value: str, p: int) -> pa.Array:
+    """O(1) constant string column (dictionary-encoded, then cast to match
+    PROFILE_SCHEMA) — building ['v']*p Python lists dominated kernel wall
+    time for short conversations."""
+    dict_arr = pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(p, dtype=np.int32)), pa.array([value]))
+    return dict_arr.cast(pa.string())
+
+
 def profile_to_rows(conv_id: str, signal: str, prof: MatrixProfile) -> pa.Table:
     p = len(prof.mp)
     return pa.table(
         {
-            "conv_id": pa.array([conv_id] * p),
-            "signal": pa.array([signal] * p),
+            "conv_id": _const_str(conv_id, p),
+            "signal": _const_str(signal, p),
             "w": pa.array(np.full(p, prof.w, dtype=np.int32)),
             "window_idx": pa.array(np.arange(p, dtype=np.int64)),
             "mp": pa.array(prof.mp),
@@ -117,6 +126,18 @@ class ProfileKernel:
         return pa.concat_tables(outs)
 
 
+def profile_batch(batch: pa.Table, window_size: int = 8, ez: float = DEFAULT_EZ,
+                  signals: tuple[str, ...] = SIGNAL_COLUMNS,
+                  algorithm: str = "auto") -> pa.Table:
+    """Stateless per-batch kernel runner (task pool). Tasks reuse warm Ray
+    workers, so imports/numpy warmup amortize across the whole session —
+    measurably cheaper than cold actor-pool ramp-up for a pure function; the
+    actor-pool class (:class:`ProfileKernel`) remains for stages that DO hold
+    state (model broadcast, per-conv caches)."""
+    return ProfileKernel(window_size=window_size, ez=ez, signals=signals,
+                         algorithm=algorithm)(batch)
+
+
 def compute_profiles(ds_packed, cfg: EngineConfig):
     """Packed series Dataset -> profile Dataset, salting long convs.
 
@@ -126,6 +147,7 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
     """
     import ray
 
+    pool = cfg.profile_concurrency or max(2, int(ray.cluster_resources().get("CPU", 8)))
     # one materialization so the small/big split doesn't re-execute the
     # upstream shuffle twice (at 100 TB this is the packed-series parquet
     # checkpoint both consumers read back)
@@ -134,16 +156,12 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         expr=f"n_turns <= {cfg.salt_turn_threshold}"
     )
     profiles_small = small.map_batches(
-        ProfileKernel,
-        fn_constructor_kwargs={"window_size": cfg.window_size, "ez": cfg.ez},
+        profile_batch,
+        fn_kwargs={"window_size": cfg.window_size, "ez": cfg.ez},
         batch_format="pyarrow",
-        # one conversation per actor call: conv sizes are Zipf-skewed, so
-        # per-row dispatch gives the scheduler real load balancing (a 32-row
-        # batch serializes 32 kernels behind one actor)
+        # one conversation per task: conv sizes are Zipf-skewed, so per-row
+        # dispatch gives the scheduler real load balancing
         batch_size=1,
-        # autoscaling pool: min 1 actor so the pool can never reserve every
-        # CPU and starve the read/shuffle stages (deadlocks a small session)
-        concurrency=(1, cfg.profile_concurrency),
         num_cpus=1,
     )
 
@@ -153,11 +171,12 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
     if not big_rows:
         return profiles_small
 
-    ds_big = ray.data.from_arrow(_sharded_profiles(big_rows, cfg))
+    ds_big = ray.data.from_arrow(_sharded_profiles(big_rows, cfg, pool))
     return profiles_small.union(ds_big)
 
 
-def _sharded_profiles(rows: list[dict], cfg: EngineConfig) -> pa.Table:
+def _sharded_profiles(rows: list[dict], cfg: EngineConfig,
+                      pool: int = 8) -> pa.Table:
     """Diagonal-range fan-out for the long conversations.
 
     ALL (conv, signal, diagonal-range) shard tasks are submitted before any
@@ -183,7 +202,7 @@ def _sharded_profiles(rows: list[dict], cfg: EngineConfig) -> pa.Table:
             if len(series) < 2 * cfg.window_size:
                 continue
             p = len(series) - cfg.window_size + 1
-            n_shards = max(2, cfg.profile_concurrency)
+            n_shards = max(2, pool)
             # equal-AREA diagonal ranges: diagonal k costs (p-k), so split
             # the triangle, not the index range (skew note SURVEY.md §7.4)
             ks = np.arange(zone + 1, p)
