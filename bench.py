@@ -149,12 +149,16 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """N vs 4N parallelism scaling. Levels via $SCALE_LO / $SCALE_HI
-    (default 8 / 32). On one box, 32 worker processes saturate shared
-    DRAM/L2 bandwidth that a real 4N-node cluster would multiply — BASELINE.md
-    records both an unsaturated (2→8) and the saturated (8→32) pair."""
-    lo_n = int(os.environ.get("SCALE_LO", "8"))
-    hi_n = int(os.environ.get("SCALE_HI", "32"))
+    """N vs 4N parallelism scaling. Levels via $SCALE_LO / $SCALE_HI.
+
+    Default 4 → 16: this box has 16 PHYSICAL cores (raw-CPU control: 1→16
+    processes scale linearly, 16→32 only 1.6× = SMT threads), so 4→16 is the
+    pair where added parallelism means added hardware — the situation a real
+    N→4N node cluster reproduces. 8→32 is also recorded in BASELINE.md with
+    the SMT/bandwidth caveat. Each level runs twice, keeping the faster run
+    (single-box scheduling noise is large; min is the standard estimator)."""
+    lo_n = int(os.environ.get("SCALE_LO", "4"))
+    hi_n = int(os.environ.get("SCALE_HI", "16"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -164,10 +168,10 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    run(lo_n)  # warm OS page cache + bench-input cache (untimed)
-    lo = run(lo_n)
-    hi = run(hi_n)
     core = lambda r: r["queries"]["rollup_tiers"] + r["queries"]["profiles"]
+    run(hi_n)  # warm OS page cache + bench-input cache (untimed)
+    lo = min(run(lo_n), run(lo_n), key=core)
+    hi = min(run(hi_n), run(hi_n), key=core)
     eff = (core(lo) / core(hi)) / (hi_n / lo_n)
     return {
         "cpus": [lo_n, hi_n],

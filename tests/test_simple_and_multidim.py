@@ -1,0 +1,88 @@
+"""SiMPle (non-normalized multidim MP) vs naive oracle; MDL multidim motifs."""
+
+import numpy as np
+import pytest
+
+from tsmp_ray.kernels import mstomp, simple_fast
+from tsmp_ray.kernels.mining import find_multidim_motifs, get_bit_save
+
+
+def naive_simple(data, w, query=None, ez=0.5):
+    from tsmp_ray.config import exclusion_zone
+
+    data = np.atleast_2d(data.T).T
+    q = data if query is None else np.atleast_2d(query.T).T
+    p = data.shape[0] - w + 1
+    pq = q.shape[0] - w + 1
+    zone = exclusion_zone(w, ez) if query is None else 0
+    mp = np.full(p, np.inf)
+    pi = np.full(p, -1)
+    for i in range(p):
+        best, bj = np.inf, -1
+        for j in range(pq):
+            if query is None and abs(i - j) <= zone:
+                continue
+            d = ((data[i : i + w] - q[j : j + w]) ** 2).sum()
+            if d < best:
+                best, bj = d, j
+        mp[i] = np.sqrt(best)
+        pi[i] = bj
+    return mp, pi
+
+
+def test_simple_fast_self_join_matches_naive():
+    rng = np.random.default_rng(3)
+    data = np.cumsum(rng.standard_normal((120, 3)), axis=0)
+    w = 8
+    prof = simple_fast(data, w)
+    mp_o, pi_o = naive_simple(data, w)
+    np.testing.assert_allclose(prof.mp, mp_o, atol=1e-6)
+
+
+def test_simple_fast_ab_join_matches_naive():
+    rng = np.random.default_rng(4)
+    a = np.cumsum(rng.standard_normal((100, 2)), axis=0)
+    b = np.cumsum(rng.standard_normal((80, 2)), axis=0)
+    w = 8
+    prof = simple_fast(a, w, query=b)
+    mp_o, pi_o = naive_simple(a, w, query=b)
+    np.testing.assert_allclose(prof.mp, mp_o, atol=1e-6)
+    assert prof.join
+
+
+def test_simple_fast_1d():
+    rng = np.random.default_rng(5)
+    x = np.cumsum(rng.standard_normal(150))
+    prof = simple_fast(x, 10)
+    mp_o, _ = naive_simple(x, 10)
+    np.testing.assert_allclose(prof.mp, mp_o, atol=1e-6)
+
+
+def test_get_bit_save_prefers_shared_dims():
+    rng = np.random.default_rng(6)
+    w = 16
+    shared = np.sin(np.linspace(0, 2 * np.pi, w))
+    m1 = np.stack([shared, rng.standard_normal(w)], axis=1)
+    m2 = np.stack([shared + rng.standard_normal(w) * 0.01,
+                   rng.standard_normal(w)], axis=1)
+    bits1, dims1 = get_bit_save(m1, m2, 1)
+    assert dims1[0] == 0  # the shared dimension compresses best
+
+
+def test_find_multidim_motifs_guided_and_unconstrained():
+    rng = np.random.default_rng(7)
+    n, w = 400, 16
+    data = rng.standard_normal((n, 3)) * 0.3
+    # motif present in dims 0 and 1 only, at two locations
+    pat = np.sin(np.linspace(0, 3 * np.pi, w)) * 3
+    for pos in (60, 280):
+        data[pos : pos + w, 0] = pat
+        data[pos : pos + w, 1] = pat * 0.8
+    mmp = mstomp(data, w)
+    guided = find_multidim_motifs(data, mmp, n_motifs=1, n_dim=2)
+    assert guided
+    a, b = guided[0]["motifs"]
+    assert min(abs(a - 60), abs(a - 280)) <= 2
+    assert min(abs(b - 60), abs(b - 280)) <= 2
+    un = find_multidim_motifs(data, mmp, n_motifs=1)
+    assert un and un[0]["n_dim"] <= 3

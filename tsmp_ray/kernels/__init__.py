@@ -11,6 +11,7 @@ from .mpx import MpxState, mpx, mpx_diagonals, prepare_series
 from .mstomp import MultiMatrixProfile, mstomp
 from .profile_types import MatrixProfile, empty_profile, merge_min
 from .scrimp import scrimp, stamp
+from .simple import simple_fast
 from .stomp import stomp, stomp_range
 from .stompi import StreamingProfile
 
@@ -19,5 +20,5 @@ __all__ = [
     "StreamingProfile", "brute_dist_profile", "brute_mp", "clean_series",
     "dist_profile", "empty_profile", "mass_pre", "mass_v2", "mass_v3",
     "merge_min", "mpx", "mpx_diagonals", "mstomp", "prepare_series",
-    "scrimp", "stamp", "stomp", "stomp_range",
+    "scrimp", "simple_fast", "stamp", "stomp", "stomp_range",
 ]

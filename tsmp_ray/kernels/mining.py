@@ -498,3 +498,103 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
         best_pi[:p][upd] = prof.pi[upd]
     return {"mp": best, "mp_raw": raw, "w": best_w, "pi": best_pi,
             "window_min": window_min, "window_max": window_max}
+
+
+# ---------------------------------------------------------- multidim motifs
+
+
+def _gauss_split_points(n_bit: int) -> np.ndarray:
+    """qnorm((1..2^b-1)/2^b) without scipy: inverse-normal via
+    Acklam/Moro-style rational approximation (adequate for split points)."""
+    q = np.arange(1, (1 << n_bit)) / (1 << n_bit)
+    # Beasley-Springer-Moro approximation
+    a = [2.50662823884, -18.61500062529, 41.39119773534, -25.44106049637]
+    b = [-8.47351093090, 23.08336743743, -21.06224101826, 3.13082909833]
+    c = [0.3374754822726147, 0.9761690190917186, 0.1607979714918209,
+         0.0276438810333863, 0.0038405729373609, 0.0003951896511919,
+         0.0000321767881768, 0.0000002888167364, 0.0000003960315187]
+    y = q - 0.5
+    out = np.empty_like(q)
+    mid = np.abs(y) < 0.42
+    r = y[mid] * y[mid]
+    out[mid] = y[mid] * (((a[3] * r + a[2]) * r + a[1]) * r + a[0]) / (
+        (((b[3] * r + b[2]) * r + b[1]) * r + b[0]) * r + 1.0)
+    r = q[~mid]
+    r = np.where(y[~mid] > 0, 1 - r, r)
+    r = np.log(-np.log(r))
+    acc = np.zeros_like(r)
+    for coef in reversed(c):
+        acc = acc * r + coef
+    out[~mid] = np.where(y[~mid] > 0, acc, -acc)
+    return out
+
+
+def _discretize_motif(m: np.ndarray, split_pt: np.ndarray) -> np.ndarray:
+    """Per-dim z-norm then bucket by split points (misc.R:1062-1083)."""
+    mu = m.mean(axis=0, keepdims=True)
+    sd = m.std(axis=0, keepdims=True)
+    z = (m - mu) / np.where(sd == 0, 1.0, sd)
+    return np.searchsorted(split_pt, z) + 1
+
+
+def get_bit_save(motif_1: np.ndarray, motif_2: np.ndarray, n_dim: int,
+                 n_bit: int = 4) -> tuple[float, np.ndarray]:
+    """Bits needed to describe (motif_1, motif_2) sharing ``n_dim`` dims
+    (/root/reference/R/misc.R:1024-1057). Lower = better compression.
+    Returns (bit_size, chosen dim indexes)."""
+    m1 = np.atleast_2d(motif_1.T).T
+    m2 = np.atleast_2d(motif_2.T).T
+    w, tot_dim = m1.shape
+    split_pt = _gauss_split_points(n_bit)
+    d1 = _discretize_motif(m1, split_pt)
+    d2 = _discretize_motif(m2, split_pt)
+    dim_id = np.argsort(np.abs(d1 - d2).sum(axis=0), kind="stable")[:n_dim]
+    diff = d1[:, dim_id] - d2[:, dim_id]
+    n_val = len(np.unique(diff))
+    bit_sz = n_bit * (tot_dim * w * 2 - n_dim * w)
+    bit_sz += n_dim * w * np.log2(max(n_val, 1)) + n_val * n_bit
+    return float(bit_sz), dim_id
+
+
+def find_multidim_motifs(data: np.ndarray, mmp, n_motifs: int = 3,
+                         n_dim: int | None = None, n_bit: int = 4) -> list[dict]:
+    """Multidimensional motif discovery over a MultiMatrixProfile
+    (/root/reference/R/find-motifs.R:231-352).
+
+    Guided (``n_dim`` given): search the (n_dim)-dimensional profile row.
+    Unconstrained: for the best pair of each k-dim row, pick the k whose MDL
+    bit save (get_bit_save) is best — the reference's dimension selection.
+    Pairs masked ±exclusion zone between motifs.
+    """
+    from ..config import exclusion_zone as _ez
+
+    data = np.asarray(data, dtype=np.float64)
+    if data.ndim == 1:
+        data = data[:, None]
+    w = mmp.w
+    zone = _ez(w, mmp.ez)
+    mp = mmp.mp.copy()
+    out: list[dict] = []
+    rows = [n_dim - 1] if n_dim is not None else list(range(mp.shape[0]))
+    for _ in range(n_motifs):
+        best = None
+        for k in rows:
+            i = int(np.argmin(mp[k]))
+            if not np.isfinite(mp[k, i]):
+                continue
+            j = int(mmp.pi[k, i])
+            if j < 0:
+                continue
+            m1 = data[i : i + w]
+            m2 = data[j : j + w]
+            bits, dims = get_bit_save(m1, m2, k + 1, n_bit)
+            if best is None or bits < best["bits"]:
+                best = {"motifs": sorted((i, j)), "n_dim": k + 1,
+                        "dims": dims.tolist(), "bits": bits,
+                        "distance": float(mp[k, i])}
+        if best is None:
+            break
+        out.append(best)
+        for idx in best["motifs"]:
+            mp[:, max(0, idx - zone) : idx + zone + 1] = np.inf
+    return out
