@@ -86,3 +86,27 @@ def test_find_multidim_motifs_guided_and_unconstrained():
     assert min(abs(b - 60), abs(b - 280)) <= 2
     un = find_multidim_motifs(data, mmp, n_motifs=1)
     assert un and un[0]["n_dim"] <= 3
+
+
+def test_compute_api_dispatch():
+    from tsmp_ray.pipelines.compute_api import analyze_series, compute, tsmp
+    from tsmp_ray.kernels import mpx
+
+    rng = np.random.default_rng(9)
+    x = np.cumsum(rng.standard_normal(300))
+    exact = compute(x, windows=16)
+    np.testing.assert_allclose(exact.mp, mpx(x, 16).mp, atol=1e-9)
+    approx = compute(x, windows=16, sample_pct=0.3)
+    fin = np.isfinite(exact.mp)
+    assert (approx.mp[fin] >= exact.mp[fin] - 2e-5).all()
+    sweep = compute(x, windows=[8, 12])
+    assert set(sweep["pmp"]) == {8, 12}
+    for mode in ("stomp", "stamp", "scrimp", "mpx", "simple"):
+        prof = tsmp(x, 16, mode=mode)
+        assert len(prof.mp) == len(x) - 16 + 1
+    ms = tsmp(np.stack([x, x * 2], axis=1), 16, mode="mstomp")
+    assert ms.mp.shape[0] == 2
+    paa_prof = tsmp(x, 16, mode="stomp", paa_factor=2)
+    assert len(paa_prof.mp) == 150 - 8 + 1
+    res = analyze_series(x, 16)
+    assert res["motifs"] or res["discords"]
