@@ -96,3 +96,74 @@ def test_retention_compaction(tier_ds, tmp_path, ray_session):
     # idempotent: second compaction changes nothing
     status2 = compact(out, now_us=int(hi), ttl_us=ttl)
     assert set(status2.values()) == {"unchanged"}
+
+
+def test_kill_and_resume_subprocess(tmp_path):
+    """North-rule resume check with a REAL kill: a subprocess writes the tier
+    partition-by-partition and is SIGKILLed after the first partition lands;
+    a rerun skips completed work and the final layout is byte-identical to an
+    uninterrupted run."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    script = tmp_path / "writer.py"
+    out_a = tmp_path / "killed"
+    out_b = tmp_path / "clean"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script.write_text(f"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import ray
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+import ray.data
+ray.data.DataContext.get_current().enable_progress_bars = False
+from tsmp_ray.sources.transcripts import synthetic_transcripts
+from tsmp_ray.stages.rollup import rollup_from_signals
+from tsmp_ray.stages.signals import derive_signals
+from tsmp_ray.state.lineage import resumable_write
+
+out_dir, slow = sys.argv[1], sys.argv[2] == "slow"
+tbl = synthetic_transcripts(n_convs=4, seed=33, mean_turns=80)
+tier = rollup_from_signals(derive_signals(ray.data.from_arrow(tbl)),
+                           "1m").materialize()
+for sig in ("text_len", "tool_call", "ts_delta"):
+    resumable_write(tier, out_dir, "signal", partition_values=[sig])
+    print("DONE", sig, flush=True)
+    if slow:
+        time.sleep(20)  # window for the kill
+ray.shutdown()
+""")
+    env = dict(os.environ)
+    # killed run: SIGKILL right after the first partition reports DONE
+    proc = subprocess.Popen([sys.executable, str(script), str(out_a), "slow"],
+                            stdout=subprocess.PIPE, text=True, env=env)
+    t0 = _time.time()
+    while _time.time() - t0 < 180:
+        line = proc.stdout.readline()
+        if line.startswith("DONE"):
+            break
+    proc.kill()
+    proc.wait()
+    man = Manifest(str(out_a))
+    assert len(man.data["partitions"]) == 1  # exactly the finished partition
+
+    # resume: completes the rest, skipping the survivor
+    r = subprocess.run([sys.executable, str(script), str(out_a), "fast"],
+                       capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    # clean run for comparison
+    r2 = subprocess.run([sys.executable, str(script), str(out_b), "fast"],
+                        capture_output=True, text=True, env=env, timeout=300)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    a = {k: v["rows"] for k, v in Manifest(str(out_a)).data["partitions"].items()}
+    b = {k: v["rows"] for k, v in Manifest(str(out_b)).data["partitions"].items()}
+    assert a == b and len(a) == 3
+    crc_a = {k: v["content_crc32"]
+             for k, v in Manifest(str(out_a)).data["partitions"].items()}
+    crc_b = {k: v["content_crc32"]
+             for k, v in Manifest(str(out_b)).data["partitions"].items()}
+    assert crc_a == crc_b  # byte-identical partitions after resume
