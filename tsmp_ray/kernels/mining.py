@@ -190,7 +190,9 @@ def fluss_extract(cac: np.ndarray, w: int, num_segments: int = 1,
         if cac[i] >= 1:
             break
         segs.append(i)
-        cac[max(0, i - zone) : min(p, i + zone)] = np.inf
+        # inclusive upper bound: the reference masks i-zone..i+zone inclusive
+        # (R indexing, /root/reference/R/fluss.R:254-282)
+        cac[max(0, i - zone) : min(p, i + zone + 1)] = np.inf
     return segs
 
 
@@ -313,7 +315,10 @@ def find_snippet(data: np.ndarray, s_size: int, n_snippets: int = 2,
         raise ValueError("bad snippet sizing")
     pad = int(np.ceil(len(data) / s_size)) * s_size - len(data)
     padded = np.concatenate([data, np.zeros(pad)])
-    starts = np.arange(0, len(padded) - s_size, s_size)
+    # inclusive stop: padded length is a multiple of s_size, so the final
+    # aligned segment is a valid candidate too (reference candidate set,
+    # /root/reference/R/find-snippet.R:78-84)
+    starts = np.arange(0, len(padded) - s_size + 1, s_size)
     profiles = np.stack([
         mpdist_vect(padded, padded[s : s + s_size], w, thr=thr) for s in starts
     ])
@@ -349,25 +354,36 @@ def find_snippet(data: np.ndarray, s_size: int, n_snippets: int = 2,
 # ---------------------------------------------------------------- annotations
 
 
-def _window_apply(data: np.ndarray, w: int, fn) -> np.ndarray:
-    p = len(data) - w + 1
-    out = np.empty(p)
-    for i in range(p):
-        out[i] = fn(data[i : i + w])
-    return out
+def _windows(data: np.ndarray, w: int) -> np.ndarray:
+    """(p × w) zero-copy sliding-window view — all five annotation vectors are
+    vectorized row-reductions over this view (no per-window Python calls)."""
+    return np.lib.stride_tricks.sliding_window_view(data, w)
 
 
 def av_zerocrossing(data: np.ndarray, w: int) -> np.ndarray:
     """Favor windows with many zero crossings
     (/root/reference/R/annotations.R:20-49)."""
     z = znorm(data)
-    return zero_one_norm(_window_apply(z, w, zero_crossings))
+    s = np.sign(z)
+    if np.all(s != 0):
+        # exact-zero-free fast path: a window's crossing count is a plain
+        # windowed sum of adjacent sign flips
+        flips = np.zeros(len(z))
+        flips[1:] = np.diff(s) != 0
+        counts = _windows(flips, w)[:, 1:].sum(axis=1)
+    else:
+        # zeros are dropped within each window before counting
+        # (movstats.zero_crossings semantics) — window-dependent, loop it
+        counts = np.array([zero_crossings(z[i : i + w])
+                           for i in range(len(z) - w + 1)], dtype=np.float64)
+    return zero_one_norm(counts)
 
 
 def av_complexity(data: np.ndarray, w: int, dilution_factor: float = 0.0) -> np.ndarray:
     """Favor complex windows (/root/reference/R/annotations.R:68-103)."""
     z = znorm(data)
-    av = zero_one_norm(_window_apply(z, w, complexity))
+    d2 = np.diff(z) ** 2
+    av = zero_one_norm(np.sqrt(_windows(d2, w - 1).sum(axis=1)))
     return (av + dilution_factor) / (dilution_factor + 1.0)
 
 
@@ -375,7 +391,8 @@ def av_motion_artifact(data: np.ndarray, w: int) -> np.ndarray:
     """Suppress high-variance (motion-artifact) windows: av=1 where window SD
     below the mean SD (/root/reference/R/annotations.R:122-157)."""
     z = znorm(data)
-    sds = _window_apply(z, w, lambda s: s.std(ddof=1))
+    win = _windows(z, w)
+    sds = win.std(axis=1, ddof=1)
     return (sds < sds.mean()).astype(np.float64)
 
 
@@ -386,7 +403,10 @@ def av_stop_word(data: np.ndarray, w: int, stop_word_loc: int,
     distance to the stop word; zero out ±ez around indices below threshold."""
     z = znorm(data)
     sw = z[stop_word_loc : stop_word_loc + w]
-    av = zero_one_norm(_window_apply(z, w, lambda s: float(np.sum((s - sw) ** 2))))
+    win = _windows(z, w)
+    # sum((s-sw)^2) = sum(s²) - 2·s·sw + sum(sw²), one matmul for the dot
+    d = (win * win).sum(axis=1) - 2.0 * (win @ sw) + float(np.sum(sw * sw))
+    av = zero_one_norm(d)
     zone = int(round(w * ez + EPS))
     p = len(av)
     for i in np.flatnonzero(av <= threshold):
@@ -399,7 +419,8 @@ def av_hardlimit_artifact(data: np.ndarray, w: int) -> np.ndarray:
     (/root/reference/R/annotations.R:249-285)."""
     z = znorm(data)
     mx, mn = z.max(), z.min()
-    av = zero_one_norm(_window_apply(z, w, lambda s: float(((s == mx) | (s == mn)).sum())))
+    hits = ((z == mx) | (z == mn)).astype(np.float64)
+    av = zero_one_norm(_windows(hits, w).sum(axis=1))
     return 1.0 - av
 
 

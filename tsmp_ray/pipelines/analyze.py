@@ -14,13 +14,10 @@ re-hosted per SURVEY.md §7.0):
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
 from ..config import EngineConfig
 from ..stages.profile_stage import compute_profiles
 from ..stages.rollup import fold_tier, gap_fill_tier, rollup_from_signals
-from ..stages.signals import derive_signals, pack_series
+from ..stages.signals import derive_signals, pack_series, unpack_signals
 
 
 def build_tiers(ds_signals, cfg: EngineConfig, gap_fill: bool | None = None):
@@ -48,47 +45,30 @@ def build_tiers(ds_signals, cfg: EngineConfig, gap_fill: bool | None = None):
 
 
 def analyze(ds_transcripts, cfg: EngineConfig | None = None):
-    """Full pipeline on a transcript Dataset. Returns dict of lazy Datasets:
-    signals, tiers (1m/1h/1d), profiles."""
+    """Full pipeline on a transcript Dataset. Returns dict of Datasets:
+    signals, tiers (1m/1h/1d), profiles, mining.
+
+    ONE ``groupby(conv_id)`` shuffle total: the packed-series rows are the
+    shuffle's output; the wide signal rows for the rollup are recovered from
+    them by a stateless explode (``unpack_signals``) — the raw transcript
+    table is scanned exactly once."""
     cfg = cfg or EngineConfig()
-    signals = derive_signals(ds_transcripts)
+    packed = pack_series(ds_transcripts).materialize()
+    signals = unpack_signals(packed)
     tiers = build_tiers(signals, cfg)
-    packed = pack_series(ds_transcripts)
     profiles = compute_profiles(packed, cfg)
-    return {"signals": signals, "tiers": tiers, "profiles": profiles}
+    mining = mining_results(packed, cfg)
+    return {"signals": signals, "tiers": tiers, "profiles": profiles,
+            "mining": mining}
 
 
-def extract_mining(profiles_pdf: pd.DataFrame, packed_pdf: pd.DataFrame,
-                   cfg: EngineConfig, n_motifs: int = 2, n_discords: int = 1):
-    """Driver-side mining over computed profiles (small outputs): per
-    (conv, signal) top motifs/discords + FLUSS segments."""
-    from ..kernels.mining import find_discords, find_motifs, fluss_cac, fluss_extract
-    from ..kernels.profile_types import MatrixProfile
+def mining_results(ds_packed, cfg: EngineConfig, n_motifs: int = 2,
+                   n_discords: int = 1):
+    """Distributed per-conv mining (motifs/discords/segment) — map_batches
+    tasks over packed rows; replaces the round-1 driver-side pandas loop."""
+    from ..stages.mining_stage import mining_op, per_conv_stage
 
-    rows = []
-    series_by_conv = {
-        r["conv_id"]: r for _, r in packed_pdf.iterrows()
-    }
-    for (conv, sig), g in profiles_pdf.groupby(["conv_id", "signal"]):
-        g = g.sort_values("window_idx")
-        prof = MatrixProfile(
-            mp=g["mp"].to_numpy(), pi=g["pi"].to_numpy(),
-            lmp=g["lmp"].to_numpy(), lpi=g["lpi"].to_numpy(),
-            rmp=g["rmp"].to_numpy(), rpi=g["rpi"].to_numpy(),
-            w=int(g["w"].iloc[0]), ez=cfg.ez,
-        )
-        series = np.asarray(series_by_conv[conv][sig], dtype=np.float64)
-        motifs = find_motifs(series, prof, n_motifs=n_motifs)
-        discords = find_discords(series, prof, n_discords=n_discords)
-        cac = fluss_cac(prof)
-        segs = fluss_extract(cac, prof.w, num_segments=1)
-        rows.append({
-            "conv_id": conv, "signal": sig,
-            "motif_a": motifs[0]["motifs"][0] if motifs else -1,
-            "motif_b": motifs[0]["motifs"][1] if motifs else -1,
-            "motif_dist": motifs[0]["distance"] if motifs else np.nan,
-            "discord": discords[0]["discord"] if discords else -1,
-            "discord_dist": discords[0]["distance"] if discords else np.nan,
-            "segment": segs[0] if segs else -1,
-        })
-    return pd.DataFrame(rows)
+    return per_conv_stage(
+        ds_packed, mining_op,
+        {"w": cfg.window_size, "ez": cfg.ez,
+         "n_motifs": n_motifs, "n_discords": n_discords})

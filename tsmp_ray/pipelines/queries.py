@@ -25,7 +25,7 @@ from ..stages.profile_stage import compute_profiles
 from ..stages.rollup import fold_tier, gap_fill_tier, rollup_from_signals
 from ..stages.signals import derive_signals, pack_series
 from ..stages.retention import apply_retention
-from .analyze import build_tiers, extract_mining
+from .analyze import build_tiers
 
 CFG = EngineConfig(window_size=8)
 
@@ -265,14 +265,10 @@ def _query_vectors(sf_dir: str):
 
 def q_knn_topk(sf_dir: str):
     ds, qm, qids = _query_vectors(sf_dir)
-    # fetch a small margin then re-rank on ROUNDED cosine with vec_id
-    # tie-break — the exact ordering the SQL oracle uses
-    out = knn_mod.brute_force_topk(ds, qm, qids, k=14).to_pandas()
-    out["cosine"] = out["cosine"].round(6)
-    out = out.sort_values(["query_id", "cosine", "vec_id"],
-                          ascending=[True, False, True])
-    out["rank"] = out.groupby("query_id").cumcount() + 1
-    return out[out["rank"] <= 10].reset_index(drop=True)
+    # round_dp=6 ranks on the ROUNDED cosine (vec_id tie-break) inside both
+    # the partial and final merges — the exact ordering the SQL oracle uses
+    out = knn_mod.brute_force_topk(ds, qm, qids, k=10, round_dp=6).to_pandas()
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def q_knn_ivf(sf_dir: str):
@@ -286,53 +282,37 @@ def q_profiles(sf_dir: str):
 
 
 def q_mining(sf_dir: str):
+    """Distributed per-conv mining (motifs+discords+segment): map_batches
+    tasks over packed rows — no driver loops (the round-2 fix)."""
+    from ..stages.mining_stage import mining_op, per_conv_stage
+
     packed = pack_series(transcripts_from_events(sf_dir))
-    prof = compute_profiles(packed, CFG).to_pandas()
-    return extract_mining(prof, packed.to_pandas(), CFG)
+    return per_conv_stage(packed, mining_op,
+                          {"w": CFG.window_size, "ez": CFG.ez})
 
 
 def q_fluss_segments(sf_dir: str):
     """Segment positions per conv on the tool_call signal (regime change)."""
-    from ..kernels.mining import fluss
+    from ..stages.mining_stage import fluss_op, per_conv_stage
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    rows = []
-    for _, r in packed.iterrows():
-        x = np.asarray(r["tool_call"], dtype=np.float64)
-        if len(x) < 4 * CFG.window_size:
-            continue
-        res = fluss(x, CFG.window_size, num_segments=1)
-        rows.append({"conv_id": r["conv_id"],
-                     "segment": res["fluss"][0] if res["fluss"] else -1})
-    return pd.DataFrame(rows)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, fluss_op, {"w": CFG.window_size})
 
 
 def q_chains(sf_dir: str):
-    from ..kernels.mining import find_chains
-    from ..kernels.profile_types import MatrixProfile
+    from ..stages.mining_stage import chains_op, per_conv_stage
 
     packed = pack_series(transcripts_from_events(sf_dir))
-    prof = compute_profiles(packed, CFG).to_pandas()
-    rows = []
-    for (conv, sig), g in prof.groupby(["conv_id", "signal"]):
-        g = g.sort_values("window_idx")
-        mpo = MatrixProfile(mp=g["mp"].to_numpy(), pi=g["pi"].to_numpy(),
-                            lmp=g["lmp"].to_numpy(), lpi=g["lpi"].to_numpy(),
-                            rmp=g["rmp"].to_numpy(), rpi=g["rpi"].to_numpy(),
-                            w=int(g["w"].iloc[0]), ez=CFG.ez)
-        res = find_chains(mpo)
-        rows.append({"conv_id": conv, "signal": sig,
-                     "best_chain_len": len(res["best"]),
-                     "n_chains": len(res["chains"])})
-    return pd.DataFrame(rows)
+    return per_conv_stage(packed, chains_op,
+                          {"w": CFG.window_size, "ez": CFG.ez})
 
 
 def q_mpdist(sf_dir: str):
     """Pairwise MPdist between the first 6 conversations' text_len series."""
     from ..kernels.mining import mpdist
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    packed = packed.sort_values("conv_id").head(6)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    packed = packed.sort("conv_id").limit(6).to_pandas()  # bounded driver pull
     rows = []
     for i in range(len(packed)):
         for j in range(i + 1, len(packed)):
@@ -346,12 +326,18 @@ def q_mpdist(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _longest_conv(sf_dir: str) -> pd.Series:
+    """Bounded driver pull: only the single longest packed conversation."""
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return (packed.sort(["n_turns", "conv_id"], descending=[True, False])
+            .limit(1).to_pandas().iloc[0])
+
+
 def q_pmp(sf_dir: str):
     """Pan-matrix-profile over a window sweep for the longest conversation."""
     from ..kernels.mining import pmp
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    r = packed.loc[packed["n_turns"].idxmax()]
+    r = _longest_conv(sf_dir)
     x = np.asarray(r["text_len"], dtype=np.float64)
     res = pmp(x, windows=[6, 8, 10, 12])
     rows = []
@@ -366,8 +352,7 @@ def q_pmp(sf_dir: str):
 def q_valmod(sf_dir: str):
     from ..kernels.mining import valmod
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    r = packed.loc[packed["n_turns"].idxmax()]
+    r = _longest_conv(sf_dir)
     x = np.asarray(r["text_len"], dtype=np.float64)
     res = valmod(x, 6, 12)
     return pd.DataFrame({
@@ -378,66 +363,37 @@ def q_valmod(sf_dir: str):
 
 
 def q_mstomp(sf_dir: str):
-    """Multidimensional profile over the 3 signals of each conversation."""
-    from ..kernels.mstomp import mstomp
+    """Multidimensional profile over the 3 signals of each conversation,
+    distributed per conv (map_batches tasks)."""
+    from ..stages.mining_stage import mstomp_op, per_conv_stage
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    rows = []
-    for _, r in packed.iterrows():
-        sigs = np.stack([np.asarray(r[s], dtype=np.float64)
-                         for s in ("ts_delta", "text_len", "tool_call")], axis=1)
-        if len(sigs) < 2 * CFG.window_size:
-            continue
-        res = mstomp(sigs, CFG.window_size)
-        for k in range(res.mp.shape[0]):
-            for i in range(res.mp.shape[1]):
-                rows.append({"conv_id": r["conv_id"], "k_dim": k + 1,
-                             "window_idx": i, "mp": res.mp[k, i],
-                             "pi": int(res.pi[k, i])})
-    return pd.DataFrame(rows)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, mstomp_op, {"w": CFG.window_size})
 
 
 def q_stompi_streaming(sf_dir: str):
     """Streaming (incremental) profiles: first 2/3 batch + 1/3 appended via
     stompi — equals the batch profile (asserted in tests; emitted here)."""
-    from ..kernels.stompi import StreamingProfile
+    from ..stages.mining_stage import per_conv_stage, stompi_op
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    rows = []
-    for _, r in packed.iterrows():
-        x = np.asarray(r["text_len"], dtype=np.float64)
-        if len(x) < 4 * CFG.window_size:
-            continue
-        cut = 2 * len(x) // 3
-        sp = StreamingProfile(x[:cut], CFG.window_size)
-        sp.update(x[cut:])
-        for i, v in enumerate(sp.profile.mp):
-            rows.append({"conv_id": r["conv_id"], "window_idx": i, "mp": v,
-                         "pi": int(sp.profile.pi[i])})
-    return pd.DataFrame(rows)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, stompi_op, {"w": CFG.window_size})
 
 
 def q_annotation(sf_dir: str):
     """av_complexity over each conv's text_len (per-window annotation)."""
-    from ..kernels.mining import av_complexity
+    from ..stages.mining_stage import annotation_op, per_conv_stage
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    rows = []
-    for _, r in packed.iterrows():
-        x = np.asarray(r["text_len"], dtype=np.float64)
-        if len(x) < 2 * CFG.window_size:
-            continue
-        av = av_complexity(x, CFG.window_size)
-        for i, v in enumerate(av):
-            rows.append({"conv_id": r["conv_id"], "window_idx": i, "av": v})
-    return pd.DataFrame(rows)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, annotation_op, {"w": CFG.window_size})
 
 
 def q_snippets(sf_dir: str):
     from ..kernels.mining import find_snippet
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    packed = packed[packed["n_turns"] >= 64].sort_values("conv_id").head(5)
+    packed = (pack_series(transcripts_from_events(sf_dir))
+              .filter(expr="n_turns >= 64")
+              .sort("conv_id").limit(5).to_pandas())  # bounded driver pull
     rows = []
     for _, r in packed.iterrows():
         x = np.asarray(r["text_len"], dtype=np.float64)
@@ -473,8 +429,8 @@ def q_ab_join(sf_dir: str):
     (both orientations, no exclusion zone)."""
     from ..kernels.mpx import mpx
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    packed = packed.sort_values("conv_id").head(6).reset_index(drop=True)
+    packed = (pack_series(transcripts_from_events(sf_dir))
+              .sort("conv_id").limit(6).to_pandas())  # bounded driver pull
     rows = []
     for i in range(0, len(packed) - 1, 2):
         a = np.asarray(packed.iloc[i]["text_len"], dtype=np.float64)
@@ -515,8 +471,7 @@ def q_salient(sf_dir: str):
     from ..kernels.salient import salient_subsequences
     from ..kernels.mpx import mpx
 
-    packed = pack_series(transcripts_from_events(sf_dir)).to_pandas()
-    r = packed.loc[packed["n_turns"].idxmax()]
+    r = _longest_conv(sf_dir)
     x = np.asarray(r["text_len"], dtype=np.float64)
     prof = mpx(x, CFG.window_size)
     sal = salient_subsequences(x, prof, n_bits=6, n_cand=8)

@@ -29,11 +29,15 @@ def _stack(col) -> np.ndarray:
 
 
 def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
-                     query_ids: np.ndarray, k: int = 10):
+                     query_ids: np.ndarray, k: int = 10,
+                     round_dp: int | None = None):
     """Exact cosine top-k of each query against every embedding row.
 
     Returns Dataset (query_id, vec_id, cosine, rank) with rank 1..k, ties
-    broken by vec_id ascending (matches the SQL oracle's ORDER BY)."""
+    broken by vec_id ascending (matches the SQL oracle's ORDER BY).
+    ``round_dp`` rounds cosines BEFORE ranking — in both the per-batch partial
+    and the final merge — so near-ties at the rank-k boundary order exactly as
+    a SQL oracle ranking on the rounded value."""
     import ray
 
     qref = ray.put((_normalize(np.asarray(query_matrix, dtype=np.float64)),
@@ -47,6 +51,8 @@ def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
             m = _normalize(_stack(batch["embedding"]))
             vec_ids = batch["vec_id"].to_numpy()
             cos = self.q @ m.T  # (nq × nbatch)
+            if round_dp is not None:
+                cos = np.round(cos, round_dp)
             kk = min(k, cos.shape[1])
             # per-batch partial top-k (combiner): sort by (-cos, vec_id)
             out_q, out_v, out_c = [], [], []

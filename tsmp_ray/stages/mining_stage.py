@@ -1,0 +1,232 @@
+"""Distributed per-conversation mining — the downstream query catalog
+(motifs/discords/segments/chains/mstomp/stompi/annotation) fanned out as
+``map_batches`` tasks over packed-series rows, the same physical plan as the
+profile stage (one conversation per task for Zipf load balancing); no driver
+loops, no full-dataset ``to_pandas``.
+
+Each op recomputes the needed matrix profile inline from the packed series
+(one pass per conv: the profile is O(n²), the mining step O(n) — fusing them
+avoids a profile→series shuffle join). Partitioning assumption: a single
+conversation's series fits one task. Conversations above the salting
+threshold would route through ``profile_stage.compute_profiles``'s diagonal
+shards first; the mining ops below that consume only a finished profile
+(`find_chains`, `fluss_cac`…) accept that profile unchanged.
+
+Reference semantics per op cited in the kernels
+(/root/reference/R/find-motifs.R, find-discord.R, fluss.R, find-chains.R,
+mstomp.R, stompi.R, annotations.R); this module is only the Ray fan-out.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_EZ, EngineConfig
+from ..kernels.block_join import blocked_mp
+from ..kernels.mining import (
+    av_complexity,
+    find_chains,
+    find_discords,
+    find_motifs,
+    fluss,
+    fluss_cac,
+    fluss_extract,
+)
+from ..kernels.mpx import mpx
+from ..kernels.mstomp import mstomp
+from ..kernels.stompi import StreamingProfile
+from .signals import SIGNAL_COLUMNS
+
+
+def _auto_profile(series: np.ndarray, w: int, ez: float = DEFAULT_EZ):
+    """Same kernel auto-pick as ProfileKernel: blocked BLAS for small w."""
+    if w <= 32:
+        return blocked_mp(series, w, ez=ez)
+    return mpx(series, w, ez=ez)
+
+
+def _series(batch: pa.Table, row: int, sig: str) -> np.ndarray:
+    return (batch[sig][row].values
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=False))
+
+
+def per_conv_stage(ds_packed, fn, fn_kwargs: dict | None = None, *,
+                   batch_size: int = 1, num_cpus: float = 1.0):
+    """Generic fan-out: ``fn(conv_id, batch, row, **kw) -> pa.Table | None``
+    over packed conversation rows; one conv per task by default."""
+
+    def runner(batch: pa.Table, fn=fn, kw=fn_kwargs or {}) -> pa.Table:
+        outs = []
+        conv_ids = batch["conv_id"].to_pylist()
+        for r, conv_id in enumerate(conv_ids):
+            t = fn(conv_id, batch, r, **kw)
+            if t is not None and t.num_rows:
+                outs.append(t)
+        if not outs:
+            return fn(None, None, -1, **kw)  # schema-only empty table
+        return pa.concat_tables(outs)
+
+    return ds_packed.map_batches(runner, batch_format="pyarrow",
+                                 batch_size=batch_size, num_cpus=num_cpus)
+
+
+# ------------------------------------------------------------------- ops
+# Every op returns its empty-schema table when called with conv_id=None so
+# the runner can emit a typed empty block.
+
+_MINING_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("signal", pa.string()),
+    ("motif_a", pa.int64()), ("motif_b", pa.int64()),
+    ("motif_dist", pa.float64()),
+    ("discord", pa.int64()), ("discord_dist", pa.float64()),
+    ("segment", pa.int64()),
+])
+
+
+def mining_op(conv_id, batch, r, *, w: int, ez: float = DEFAULT_EZ,
+              n_motifs: int = 2, n_discords: int = 1,
+              signals: tuple[str, ...] = SIGNAL_COLUMNS):
+    """Per (conv, signal): top motif pair + top discord + first FLUSS segment
+    (the reference's ``analyze()`` mining tail, /root/reference/R/analyze.R:69-72)."""
+    if conv_id is None:
+        return _MINING_SCHEMA.empty_table()
+    rows = []
+    for sig in signals:
+        x = _series(batch, r, sig)
+        if len(x) < 2 * w:
+            continue
+        prof = _auto_profile(x, w, ez)
+        motifs = find_motifs(x, prof, n_motifs=n_motifs)
+        discords = find_discords(x, prof, n_discords=n_discords)
+        segs = fluss_extract(fluss_cac(prof), w, num_segments=1)
+        rows.append({
+            "conv_id": conv_id, "signal": sig,
+            "motif_a": motifs[0]["motifs"][0] if motifs else -1,
+            "motif_b": motifs[0]["motifs"][1] if motifs else -1,
+            "motif_dist": motifs[0]["distance"] if motifs else np.nan,
+            "discord": discords[0]["discord"] if discords else -1,
+            "discord_dist": discords[0]["distance"] if discords else np.nan,
+            "segment": segs[0] if segs else -1,
+        })
+    if not rows:
+        return None
+    return pa.Table.from_pylist(rows, schema=_MINING_SCHEMA)
+
+
+_FLUSS_SCHEMA = pa.schema([("conv_id", pa.string()), ("segment", pa.int64())])
+
+
+def fluss_op(conv_id, batch, r, *, w: int, signal: str = "tool_call"):
+    if conv_id is None:
+        return _FLUSS_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 4 * w:
+        return None
+    res = fluss(x, w, num_segments=1)
+    seg = res["fluss"][0] if res["fluss"] else -1
+    return pa.Table.from_pylist(
+        [{"conv_id": conv_id, "segment": seg}], schema=_FLUSS_SCHEMA)
+
+
+_CHAINS_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("signal", pa.string()),
+    ("best_chain_len", pa.int64()), ("n_chains", pa.int64()),
+])
+
+
+def chains_op(conv_id, batch, r, *, w: int, ez: float = DEFAULT_EZ,
+              signals: tuple[str, ...] = SIGNAL_COLUMNS):
+    if conv_id is None:
+        return _CHAINS_SCHEMA.empty_table()
+    rows = []
+    for sig in signals:
+        x = _series(batch, r, sig)
+        if len(x) < 2 * w:
+            continue
+        res = find_chains(_auto_profile(x, w, ez))
+        rows.append({"conv_id": conv_id, "signal": sig,
+                     "best_chain_len": len(res["best"]),
+                     "n_chains": len(res["chains"])})
+    if not rows:
+        return None
+    return pa.Table.from_pylist(rows, schema=_CHAINS_SCHEMA)
+
+
+_MSTOMP_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("k_dim", pa.int64()),
+    ("window_idx", pa.int64()), ("mp", pa.float64()), ("pi", pa.int64()),
+])
+
+
+def mstomp_op(conv_id, batch, r, *, w: int,
+              signals: tuple[str, ...] = SIGNAL_COLUMNS):
+    if conv_id is None:
+        return _MSTOMP_SCHEMA.empty_table()
+    mats = [_series(batch, r, s) for s in signals]
+    if len(mats[0]) < 2 * w:
+        return None
+    res = mstomp(np.stack(mats, axis=1), w)
+    d, p = res.mp.shape
+    k_dim = np.repeat(np.arange(1, d + 1, dtype=np.int64), p)
+    idx = np.tile(np.arange(p, dtype=np.int64), d)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(d * p, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "k_dim": pa.array(k_dim),
+        "window_idx": pa.array(idx),
+        "mp": pa.array(res.mp.reshape(-1)),
+        "pi": pa.array(res.pi.reshape(-1).astype(np.int64)),
+    }, schema=_MSTOMP_SCHEMA)
+
+
+_STOMPI_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()),
+    ("mp", pa.float64()), ("pi", pa.int64()),
+])
+
+
+def stompi_op(conv_id, batch, r, *, w: int, signal: str = "text_len"):
+    """2/3 batch seed + 1/3 incremental append (equals the batch profile —
+    asserted in tests; /root/reference/R/stompi.R:52-96 semantics)."""
+    if conv_id is None:
+        return _STOMPI_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 4 * w:
+        return None
+    cut = 2 * len(x) // 3
+    sp = StreamingProfile(x[:cut], w)
+    sp.update(x[cut:])
+    p = len(sp.profile.mp)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(p, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+        "mp": pa.array(sp.profile.mp),
+        "pi": pa.array(sp.profile.pi.astype(np.int64)),
+    }, schema=_STOMPI_SCHEMA)
+
+
+_ANNOT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()), ("av", pa.float64()),
+])
+
+
+def annotation_op(conv_id, batch, r, *, w: int, signal: str = "text_len"):
+    if conv_id is None:
+        return _ANNOT_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    av = av_complexity(x, w)
+    p = len(av)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(p, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+        "av": pa.array(av),
+    }, schema=_ANNOT_SCHEMA)

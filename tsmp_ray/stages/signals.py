@@ -120,6 +120,7 @@ def pack_series(ds):
             {
                 "conv_id": pa.array([batch["conv_id"][0].as_py()]),
                 "n_turns": pa.array([batch.num_rows], pa.int64()),
+                "turn_idx": pa.array([batch["turn_idx"].cast(pa.int64()).to_numpy()]),
                 "ts": pa.array([batch["ts"].cast(pa.int64()).to_numpy()]),
                 "ts_delta": pa.array([batch["ts_delta"].to_numpy()]),
                 "text_len": pa.array([batch["text_len"].to_numpy()]),
@@ -130,3 +131,28 @@ def pack_series(ds):
     if _needs_features(ds):
         ds = ds.map_batches(add_turn_features, batch_format="pyarrow")
     return ds.groupby("conv_id").map_groups(_pack, batch_format="pyarrow")
+
+
+def unpack_signals(ds_packed):
+    """Packed rows -> the wide per-turn signal table (the inverse of
+    ``pack_series``'s packing, minus nothing): a stateless vectorized explode,
+    NO shuffle. Lets one ``groupby(conv_id)`` serve both the rollup (long
+    rows) and the profile stage (packed rows) — THE conv_id shuffle happens
+    once per pipeline."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(batch["ts"]).to_numpy()
+        conv = np.repeat(batch["conv_id"].to_numpy(zero_copy_only=False), lens)
+        flat = lambda col: pc.list_flatten(batch[col])
+        return pa.table(
+            {
+                "conv_id": pa.array(conv, pa.string()),
+                "turn_idx": flat("turn_idx").cast(pa.int32()),
+                "ts": flat("ts").cast(pa.timestamp("us")),
+                "text_len": flat("text_len"),
+                "tool_call": flat("tool_call"),
+                "ts_delta": flat("ts_delta"),
+            }
+        )
+
+    return ds_packed.map_batches(_explode, batch_format="pyarrow")
