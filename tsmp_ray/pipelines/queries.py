@@ -82,6 +82,195 @@ DEDUP_EXACT_SQL = """
 SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
+# exact word-3-gram Jaccard over all pairs — the ground truth minhash_lsh_dedup
+# must reproduce end-to-end (banding recall for the fixture's J ≥ 0.9 pairs is
+# 1 - (1-J^4)^16 ≈ 1-4e-8; verification is exact string-shingle jaccard whose
+# division matches this SQL's bit-for-bit)
+MINHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+),
+tr AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+),
+g AS (
+  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+  FROM tr a
+  JOIN tr b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tr c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+isect AS (
+  SELECT x.doc_id AS doc_id, y.doc_id AS dup_id, count(*) AS i
+  FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id, i.dup_id,
+       CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+FROM isect i
+JOIN sizes sa ON sa.doc_id = i.doc_id
+JOIN sizes sb ON sb.doc_id = i.dup_id
+WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.7
+"""
+
+def gap_fill_sql(tier: str = "1d") -> str:
+    """Gap-filled tier: missing buckets between each (conv, signal)'s first
+    and last bucket, n=0, gap_filled=true, mean_v linearly interpolated with
+    np.interp's exact formula slope*(x-x0)+y0, slope=(y1-y0)/(x1-x0) — the
+    identical IEEE op sequence, so values hash-match bit-for-bit."""
+    width = _TIER_US[tier]
+    base = rollup_sql(tier)
+    return f"""WITH base AS ({base}),
+bounds AS (
+  SELECT conv_id, signal, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+  FROM base GROUP BY 1, 2
+),
+grid AS (
+  SELECT conv_id, signal,
+         unnest(generate_series(lo, hi, {width})) AS bucket_ts
+  FROM bounds
+),
+missing AS (
+  SELECT g.conv_id, g.signal, g.bucket_ts
+  FROM grid g LEFT JOIN base b USING (conv_id, signal, bucket_ts)
+  WHERE b.bucket_ts IS NULL
+),
+allb AS (
+  SELECT conv_id, signal, bucket_ts, n, mean_v, FALSE AS gap_filled FROM base
+  UNION ALL
+  SELECT conv_id, signal, bucket_ts, 0 AS n, NULL AS mean_v, TRUE FROM missing
+),
+w AS (
+  SELECT *,
+    last_value(CASE WHEN NOT gap_filled THEN mean_v END IGNORE NULLS) OVER
+      (PARTITION BY conv_id, signal ORDER BY bucket_ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y0,
+    last_value(CASE WHEN NOT gap_filled THEN bucket_ts END IGNORE NULLS) OVER
+      (PARTITION BY conv_id, signal ORDER BY bucket_ts
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0,
+    first_value(CASE WHEN NOT gap_filled THEN mean_v END IGNORE NULLS) OVER
+      (PARTITION BY conv_id, signal ORDER BY bucket_ts
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS y1,
+    first_value(CASE WHEN NOT gap_filled THEN bucket_ts END IGNORE NULLS) OVER
+      (PARTITION BY conv_id, signal ORDER BY bucket_ts
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS x1
+  FROM allb
+)
+SELECT conv_id, signal, bucket_ts, n,
+  CASE WHEN gap_filled
+       THEN (y1 - y0) / CAST(x1 - x0 AS DOUBLE) * CAST(bucket_ts - x0 AS DOUBLE) + y0
+       ELSE mean_v END AS mean_v,
+  gap_filled
+FROM w
+"""
+
+
+# doc_quality: every ratio is an int/int float64 division and the composite a
+# fixed op-order arithmetic chain over them — bit-identical in numpy and SQL,
+# no rounding needed
+DOC_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         greatest(length(text), 1) AS L,
+         CAST(length(text) AS DOUBLE) AS flen,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         regexp_extract_all(text, '\w+') AS words,
+         len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+  FROM documents
+),
+r AS (
+  SELECT doc_id, flen,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(n_punct AS DOUBLE) / L AS punct_ratio,
+         CAST(len(list_filter(words, w -> lower(w) IN
+              ('the','and','of','to','a','in','is','it','that','for')))
+              AS DOUBLE) / greatest(len(words), 1) AS stop_ratio,
+         CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+              / greatest(len(words), 1) AS mean_word_len,
+         CAST(n_upper AS DOUBLE) / L AS upper_ratio
+  FROM f JOIN documents USING (doc_id)
+)
+SELECT doc_id, n_chars, punct_ratio, stop_ratio, mean_word_len, upper_ratio,
+       least(greatest(flen / 200.0, 0), 1) * 0.25
+     + least(greatest(1.0 - 4.0 * punct_ratio, 0), 1) * 0.25
+     + least(greatest(4.0 * stop_ratio, 0), 1) * 0.2
+     + least(greatest(1.0 - abs(mean_word_len - 5.0) / 5.0, 0), 1) * 0.2
+     + least(greatest(1.0 - 3.0 * upper_ratio, 0), 1) * 0.1 AS quality
+FROM r
+"""
+
+# av_complexity over each conv's text_len: znorm (population sd, ≤0.01 →
+# mean-centering), windowed sqrt-sum-of-squared-diffs, zero-one norm — rounded
+# to 6 dp on BOTH sides (pairwise-vs-sequential summation ulp noise)
+ANNOTATION_SQL = _T + f"""
+, sig AS ({{SIG}})
+, stats AS (
+  SELECT conv_id, avg(text_len) AS mu, stddev_pop(text_len) AS sd,
+         count(*) AS n
+  FROM sig GROUP BY 1
+),
+z AS (
+  SELECT s.conv_id, s.turn_idx,
+         CASE WHEN st.sd <= 0.01 THEN s.text_len - st.mu
+              ELSE (s.text_len - st.mu) / st.sd END AS z,
+         st.n
+  FROM sig s JOIN stats st USING (conv_id)
+),
+d AS (
+  SELECT conv_id, turn_idx, n,
+         (lead(z) OVER (PARTITION BY conv_id ORDER BY turn_idx) - z) AS dz
+  FROM z
+),
+c AS (
+  SELECT conv_id, n,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1
+           AS window_idx,
+         sqrt(sum(dz * dz) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN CURRENT ROW AND {{WM2}} FOLLOWING)) AS comp
+  FROM d
+),
+valid AS (
+  SELECT conv_id, window_idx, comp FROM c
+  WHERE n >= {{W2}} AND window_idx <= n - {{W}}
+),
+nrm AS (
+  SELECT conv_id, min(comp) AS mn, max(comp) AS mx FROM valid GROUP BY 1
+)
+SELECT v.conv_id, v.window_idx,
+       round(CASE WHEN n.mx = n.mn THEN 0.0
+                  ELSE (v.comp - n.mn) / (n.mx - n.mn) END, 6) AS av
+FROM valid v JOIN nrm n USING (conv_id)
+"""
+
+
+def annotation_sql(w: int) -> str:
+    return (ANNOTATION_SQL
+            .replace("{SIG}", SIGNALS_SQL.replace(_T, ""))
+            .replace("{WM2}", str(w - 2))
+            .replace("{W2}", str(2 * w))
+            .replace("{W}", str(w)))
+
+
+# exact all-pairs cosine ≥ 0.4 (rounded to 6 dp on both sides, same as KNN_SQL)
+EMBED_DEDUP_SQL = """
+WITH dims AS (SELECT unnest(generate_series(1,
+               (SELECT max(len(embedding)) FROM embeddings))) AS i),
+ee AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       FROM embeddings CROSS JOIN dims),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ee GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS dup_id, sum(a.v * b.v) AS dot
+  FROM ee a JOIN ee b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.vec_id, d.dup_id, round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.vec_id = d.vec_id
+JOIN norms nb ON nb.vec_id = d.dup_id
+WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
+"""
+
 TOKEN_COUNTS_SQL = r"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
@@ -248,10 +437,37 @@ def q_simhash_dedup(sf_dir: str):
 
 
 def q_embedding_dedup(sf_dir: str):
+    """Exact cosine pair finder. The driver's embeddings fixture has NO true
+    near-dups (max off-diagonal cosine ≈ 0.51 at every sf — measured, which
+    is why round 1's threshold-0.98 run correctly returned 0 rows); 0.4
+    exercises the pipeline non-trivially and the SQL oracle verifies values.
+    Production near-dup thresholds would be ≥0.9."""
     import ray
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return dd.embedding_dedup(ds, threshold=0.98)
+    return dd.embedding_dedup(ds, threshold=0.4)
+
+
+def q_embedding_dedup_lsh(sf_dir: str):
+    """Scale path (multi-table hyperplane LSH) on a deterministic planted
+    input: the driver embeddings plus jittered copies of every 10th vector —
+    the planted pairs are the expected output (recall asserted in pytest)."""
+    import ray
+
+    tbl = pa.concat_tables(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pyarrow"))
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.stack([np.asarray(e, dtype=np.float64)
+                    for e in tbl["embedding"].to_pylist()])
+    rng = np.random.default_rng(11)
+    sel = np.arange(0, len(ids), 10)
+    dup = emb[sel] + rng.standard_normal((len(sel), emb.shape[1])) * 0.02
+    planted = pa.table({
+        "vec_id": pa.array(np.concatenate([ids, ids[sel] + 1_000_000]).astype(np.int64)),
+        "embedding": pa.array(list(np.concatenate([emb, dup]))),
+    })
+    return dd.embedding_dedup_lsh(ray.data.from_arrow(planted), threshold=0.95)
 
 
 def _query_vectors(sf_dir: str):
@@ -385,7 +601,8 @@ def q_annotation(sf_dir: str):
     from ..stages.mining_stage import annotation_op, per_conv_stage
 
     packed = pack_series(transcripts_from_events(sf_dir))
-    return per_conv_stage(packed, annotation_op, {"w": CFG.window_size})
+    return per_conv_stage(packed, annotation_op,
+                          {"w": CFG.window_size, "round_dp": 6})
 
 
 def q_snippets(sf_dir: str):
@@ -498,6 +715,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_dedup": q_embedding_dedup,
+    "embedding_dedup_lsh": q_embedding_dedup_lsh,
     "knn_topk": q_knn_topk,
     "knn_ivf": q_knn_ivf,
     "profiles": q_profiles,
@@ -525,8 +743,13 @@ ORACLES = {
     "rollup_1h": rollup_sql("1h"),
     "rollup_1d": rollup_sql("1d"),
     "rollup_packed_roundtrip": PACKED_SQL,
+    "gap_fill_1d": gap_fill_sql("1d"),
+    "doc_quality": DOC_QUALITY_SQL,
+    "annotation": annotation_sql(CFG.window_size),
     "retention_1m": retention_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_dedup": MINHASH_SQL,
+    "embedding_dedup": EMBED_DEDUP_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "knn_topk": KNN_SQL,
 }

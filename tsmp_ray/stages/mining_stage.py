@@ -215,13 +215,19 @@ _ANNOT_SCHEMA = pa.schema([
 ])
 
 
-def annotation_op(conv_id, batch, r, *, w: int, signal: str = "text_len"):
+def annotation_op(conv_id, batch, r, *, w: int, signal: str = "text_len",
+                  round_dp: int | None = None):
+    """``round_dp`` rounds the av values so the result hash-matches the SQL
+    oracle (numpy pairwise summation vs SQL sequential sums differ in the
+    last ulp; the value is O(1) so 6 dp absorbs it)."""
     if conv_id is None:
         return _ANNOT_SCHEMA.empty_table()
     x = _series(batch, r, signal)
     if len(x) < 2 * w:
         return None
     av = av_complexity(x, w)
+    if round_dp is not None:
+        av = np.round(av, round_dp)
     p = len(av)
     return pa.table({
         "conv_id": pa.DictionaryArray.from_arrays(
