@@ -100,3 +100,66 @@ def test_binary_split_covers_all():
         assert sorted(s) == list(range(n))
         assert s[0] == 0
     assert binary_split(7)[:4] == [0, 3, 1, 5]  # midpoint-first exploration
+
+
+# ---------------------------------------------------------------- weighted / gap / PAA
+
+
+def test_weighted_equals_v3_with_unit_weights():
+    """Mirror of /root/reference/tests/testthat/test-mass-agressive.R:8-25:
+    weighted MASS with all-one weights ≡ plain MASS, over random (w, index)."""
+    from tsmp_ray.kernels.mass import dist_profile
+
+    rng = np.random.default_rng(2018)
+    x = rng.standard_normal(800).cumsum()
+    for _ in range(20):
+        w = int(rng.integers(8, 120))
+        i = int(rng.integers(0, len(x) - w))
+        q = x[i : i + w]
+        d3, _ = dist_profile(x, q, method="v3")
+        dw, _ = dist_profile(x, q, method="weighted", weight=np.ones(w))
+        m = np.isfinite(d3)
+        np.testing.assert_allclose(dw[m], d3[m], atol=2e-5)
+
+
+def test_weighted_downweights_corruption():
+    from tsmp_ray.kernels.mass import dist_profile
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(600).cumsum()
+    w = 32
+    q = x[200 : 200 + w].copy()
+    q[10:18] += 40.0  # corrupted segment
+    wt = np.ones(w)
+    wt[10:18] = 0.0
+    dw, _ = dist_profile(x, q, method="weighted", weight=wt)
+    d3, _ = dist_profile(x, q, method="v3")
+    assert dw[200] < d3[200]  # zero-weighting the corruption recovers the match
+
+
+def test_dist_profile_gap_finds_planted_site():
+    from tsmp_ray.kernels.mass import dist_profile
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(500).cumsum()
+    w = 24
+    q = x[100 : 100 + w].copy()
+    q[10:14] = np.nan  # don't-care gap
+    d, lp = dist_profile(x, q, w=w)
+    assert lp is None
+    assert len(d) == len(x) - w + 1
+    assert int(np.argmin(d)) == 100
+    assert d[100] < 1e-3
+
+
+def test_dist_profile_paa_approximates():
+    from tsmp_ray.kernels.mass import dist_profile
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(400).cumsum()
+    w = 40
+    q = x[50 : 50 + w]
+    d, qt = dist_profile(x, q, method="v3", paa_factor=4)
+    assert len(d) == len(x) // 4 - w // 4 + 1
+    assert abs(int(np.argmin(d)) - 50 // 4) <= 1  # coarse localization
+    assert qt is not None

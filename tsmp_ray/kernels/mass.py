@@ -23,7 +23,8 @@ import numpy as np
 from ..config import EPS
 from .movstats import mov_stats
 
-__all__ = ["MassPre", "mass_pre", "mass_v2", "mass_v3", "dist_profile", "clean_series"]
+__all__ = ["MassPre", "MassPreW", "mass_pre", "mass_pre_w", "mass_v2",
+           "mass_v3", "mass_weighted", "dist_profile", "clean_series"]
 
 
 def clean_series(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -162,25 +163,149 @@ def mass_v3(pre: MassPre, query: np.ndarray, k: int = 1024) -> tuple[np.ndarray,
     return _dist_from_qt(pre, qt, q_mu, q_sig), qt
 
 
+@dataclass
+class MassPreW:
+    """Precomputed state for WEIGHTED distance profiles
+    (/root/reference/R/mass-pre-w.R:35-91): moving mean/SD of the data plus
+    the two sliding weighted sums Σwx, Σwx² folded into ``data_pre``."""
+
+    w: int
+    n: int
+    data_fft: np.ndarray      # rfft of cleaned data, length n
+    data_mu: np.ndarray       # moving mean per window
+    data_sd: np.ndarray       # moving population SD per window
+    data_pre: np.ndarray      # (Σwx² - 2μΣwx + μ²Σw) / σ²
+    weight: np.ndarray
+    skip: np.ndarray
+
+
+def _slide_corr(fft_series: np.ndarray, qvec: np.ndarray, n: int,
+                w: int) -> np.ndarray:
+    """Sliding correlation sums Σ qvec[i]·series[j+i] via one FFT product
+    (qvec reversed + zero-padded, the mass-pre-w.R:66-73 three-FFT trick)."""
+    qr = np.zeros(n)
+    qr[:w] = qvec[::-1]
+    return np.fft.irfft(fft_series * np.fft.rfft(qr), n=n)[w - 1 :]
+
+
+def mass_pre_w(data: np.ndarray, w: int, weight: np.ndarray) -> MassPreW:
+    """Weighted-MASS precompute (/root/reference/R/mass-pre-w.R:35-91)."""
+    weight = np.asarray(weight, dtype=np.float64)
+    if len(weight) != w:
+        raise ValueError("'weight' must have the same length as the window")
+    data, skip = clean_series(data, w)
+    n = len(data)
+    mu, sd, _ = mov_stats(data, w)
+    data_fft = np.fft.rfft(data, n=n)
+    sumw = weight.sum()
+    sumxw = _slide_corr(data_fft, weight, n, w)
+    sumxw2 = _slide_corr(np.fft.rfft(data * data, n=n), weight, n, w)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        data_pre = (sumxw2 - 2.0 * sumxw * mu + sumw * mu * mu) / (sd * sd)
+    return MassPreW(w=w, n=n, data_fft=data_fft, data_mu=mu, data_sd=sd,
+                    data_pre=data_pre, weight=weight, skip=skip)
+
+
+def mass_weighted(pre: MassPreW, query: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted-query distance profile (/root/reference/R/mass_weighted.R:45-72):
+    the query is z-normalized, then
+    d²[j] = data_pre[j] - 2(QTw[j] - μ_j·Σwq)/σ_j + Σwq².
+    Returns (ED profile, weighted last_product) — the reference returns the
+    SQUARED profile and callers sqrt it (dist_profile.R example); we sqrt here
+    so all dist_profile methods agree in units."""
+    w = pre.w
+    qc, q_mu, q_signorm, degenerate = _query_stats(query)
+    sd = q_signorm / np.sqrt(w)  # centered norm -> population SD
+    qz = (qc - q_mu) / sd if sd > 0 else qc - q_mu
+    sumwy = float(np.sum(pre.weight * qz))
+    sumwy2 = float(np.sum(pre.weight * qz * qz))
+    qt = _slide_corr(pre.data_fft, pre.weight * qz, pre.n, w)
+    if degenerate:
+        return np.full(len(qt), np.inf), qt
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d2 = pre.data_pre - 2.0 * (qt - sumwy * pre.data_mu) / pre.data_sd + sumwy2
+    d = np.sqrt(np.maximum(d2, 0.0))
+    d[pre.skip] = np.inf
+    return d, qt
+
+
+def _dist_profile_gap(data: np.ndarray, query: np.ndarray, w: int,
+                      k: int = 1024) -> tuple[np.ndarray, None]:
+    """Query-with-gap mode (/root/reference/R/dist_profile.R:101-141): the
+    NaN run splits the query into two sub-queries matched independently; the
+    second's profile is shifted by the gap offset and the EDs added
+    (Inf-padded at the ends). Returns the SUMMED ED profile (the reference
+    returns its square and callers sqrt)."""
+    na = np.flatnonzero(~np.isfinite(query))
+    first, last = int(na.min()), int(na.max())
+    if np.any(np.diff(na) != 1):
+        raise ValueError("querying with gap only supports one gap")
+    q1 = query[:first] if first >= 4 else None
+    s2 = last + 1
+    q2 = query[s2:w] if (last + 2) <= (w - 4) else None
+    if q1 is None or q2 is None:
+        raise ValueError("gap query needs ≥4 points on each side of the gap")
+    d1, _ = mass_v3(mass_pre(data, len(q1)), q1, k=k)
+    d2, _ = mass_v3(mass_pre(data, len(q2)), q2, k=k)
+    # a full-query occurrence at p matches q1 at p and q2 at p+s2, so the
+    # combined profile is d1[p] + d2[p+s2]. (The reference instead PREPENDS
+    # the offset padding to result2 — dist_profile.R:131-135 — which aligns
+    # q2 *before* the query start; we keep the documented intent, a pattern
+    # with a don't-care gap, and fix the shift direction.)
+    p_out = len(data) - w + 1
+    out = np.full(p_out, np.inf)
+    n1 = min(p_out, len(d1))
+    out[:n1] = d1[:n1]
+    n2 = min(p_out, max(len(d2) - s2, 0))
+    out[:n2] += d2[s2 : s2 + n2]
+    out[n2:] = np.inf
+    return out, None
+
+
 def dist_profile(
-    data: np.ndarray | MassPre,
+    data: np.ndarray | MassPre | MassPreW,
     query_window: np.ndarray,
     w: int | None = None,
     method: str = "v3",
     k: int = 1024,
-) -> tuple[np.ndarray, np.ndarray]:
+    weight: np.ndarray | None = None,
+    paa_factor: int = 1,
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Dispatcher mirroring ``dist_profile`` (/root/reference/R/dist_profile.R:69-180):
-    method 'v2' | 'v3'; accepts a precomputed :class:`MassPre` for param reuse
-    (the reference threads ``params`` recursively; we hold the object).
+    method 'v2' | 'v3' | 'weighted'; accepts a precomputed :class:`MassPre` /
+    :class:`MassPreW` for param reuse (the reference threads ``params``
+    recursively; we hold the object). A query containing NaN triggers the
+    query-with-gap mode; ``paa_factor`` > 1 runs the PAA approximation
+    (downsample both sides, scale the result — dist_profile.R:146-150,173-176).
 
     Returns (distance_profile, last_product).
     """
-    if isinstance(data, MassPre):
-        pre = data
-    else:
-        if w is None:
-            w = len(query_window)
-        pre = mass_pre(data, w)
+    query_window = np.asarray(query_window, dtype=np.float64)
+    if w is None:
+        w = len(query_window)
+
+    if not isinstance(data, (MassPre, MassPreW)) and np.any(~np.isfinite(query_window)):
+        return _dist_profile_gap(np.asarray(data, dtype=np.float64),
+                                 query_window, w, k=k)
+
+    if paa_factor > 1:
+        if isinstance(data, (MassPre, MassPreW)):
+            raise ValueError("PAA mode needs the raw series, not a precompute")
+        from .movstats import paa as _paa
+
+        data = _paa(np.asarray(data, dtype=np.float64), paa_factor)
+        query_window = _paa(query_window, paa_factor)
+        w = w // paa_factor
+        d, qt = dist_profile(data, query_window, w=w, method=method, k=k,
+                             weight=weight[:w] if weight is not None else None)
+        # reference scales the squared profile by the factor (:173-176)
+        return d * np.sqrt(paa_factor), (qt * paa_factor if qt is not None else None)
+
+    if method == "weighted":
+        pre = (data if isinstance(data, MassPreW)
+               else mass_pre_w(data, w, weight))
+        return mass_weighted(pre, query_window)
+    pre = data if isinstance(data, MassPre) else mass_pre(data, w)
     if method == "v2":
         return mass_v2(pre, query_window)
     if method == "v3":

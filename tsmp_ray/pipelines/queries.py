@@ -605,6 +605,15 @@ def q_annotation(sf_dir: str):
                           {"w": CFG.window_size, "round_dp": 6})
 
 
+def q_dist_profile(sf_dir: str):
+    """Per-conv MASS v3 + weighted distance profiles (dist_profile dispatcher
+    coverage incl. mass_pre_w/mass_weighted), distributed per conv."""
+    from ..stages.mining_stage import distprofile_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, distprofile_op, {"w": CFG.window_size})
+
+
 def q_snippets(sf_dir: str):
     from ..kernels.mining import find_snippet
 
@@ -722,6 +731,7 @@ QUERIES = {
     "mining": q_mining,
     "fluss_segments": q_fluss_segments,
     "chains": q_chains,
+    "dist_profile": q_dist_profile,
     "mpdist_pairs": q_mpdist,
     "pmp": q_pmp,
     "valmod": q_valmod,

@@ -210,6 +210,40 @@ def stompi_op(conv_id, batch, r, *, w: int, signal: str = "text_len"):
     }, schema=_STOMPI_SCHEMA)
 
 
+_DISTPROF_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()),
+    ("d_v3", pa.float64()), ("d_weighted", pa.float64()),
+])
+
+
+def distprofile_op(conv_id, batch, r, *, w: int, signal: str = "text_len",
+                   query_at: int = 0):
+    """Per-conv distance profiles of the conv's own window at ``query_at``:
+    MASS v3 plus the weighted variant with a center-emphasis weight vector
+    (dist_profile dispatcher parity — /root/reference/R/dist_profile.R:69-180,
+    mass-pre-w.R:35-91). Skip locations stay +Inf (valid float64 parquet)."""
+    if conv_id is None:
+        return _DISTPROF_SCHEMA.empty_table()
+    from ..kernels.mass import dist_profile
+
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w + query_at:
+        return None
+    q = x[query_at : query_at + w]
+    d3, _ = dist_profile(x, q, method="v3")
+    wt = 1.0 - 0.5 * np.abs(np.linspace(-1.0, 1.0, w))  # center-weighted
+    dw, _ = dist_profile(x, q, method="weighted", weight=wt)
+    p = len(d3)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(p, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+        "d_v3": pa.array(d3),
+        "d_weighted": pa.array(dw),
+    }, schema=_DISTPROF_SCHEMA)
+
+
 _ANNOT_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("window_idx", pa.int64()), ("av", pa.float64()),
 ])
