@@ -14,8 +14,17 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
+
+# sandbox page faults are ~100× slow (see bench.py): any Ray worker spawned
+# after this import inherits the malloc tuning at exec time
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
+# don't cull idle Ray workers mid-session — respawn repays the first-touch tax
+os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
 
 
 def entry() -> Any:

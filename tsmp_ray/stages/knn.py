@@ -43,34 +43,31 @@ def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
     qref = ray.put((_normalize(np.asarray(query_matrix, dtype=np.float64)),
                     np.asarray(query_ids)))
 
-    class PartialTopK:
-        def __init__(self):
-            self.q, self.qids = ray.get(qref)  # broadcast read, once per actor
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)  # broadcast read (plasma, zero-copy numpy)
+        m = _normalize(_stack(batch["embedding"]))
+        vec_ids = batch["vec_id"].to_numpy()
+        cos = q @ m.T  # (nq × nbatch)
+        if round_dp is not None:
+            cos = np.round(cos, round_dp)
+        kk = min(k, cos.shape[1])
+        # per-batch partial top-k (combiner): sort by (-cos, vec_id)
+        out_q, out_v, out_c = [], [], []
+        for qi in range(cos.shape[0]):
+            order = np.lexsort((vec_ids, -cos[qi]))[:kk]
+            out_q.append(np.full(kk, qids[qi]))
+            out_v.append(vec_ids[order])
+            out_c.append(cos[qi][order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_c)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_stack(batch["embedding"]))
-            vec_ids = batch["vec_id"].to_numpy()
-            cos = self.q @ m.T  # (nq × nbatch)
-            if round_dp is not None:
-                cos = np.round(cos, round_dp)
-            kk = min(k, cos.shape[1])
-            # per-batch partial top-k (combiner): sort by (-cos, vec_id)
-            out_q, out_v, out_c = [], [], []
-            for qi in range(cos.shape[0]):
-                order = np.lexsort((vec_ids, -cos[qi]))[:kk]
-                out_q.append(np.full(kk, self.qids[qi]))
-                out_v.append(vec_ids[order])
-                out_c.append(cos[qi][order])
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
-                    "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
-                    "cosine": pa.array(np.concatenate(out_c)),
-                }
-            )
-
-    partials = ds_embeddings.map_batches(PartialTopK, batch_format="pyarrow",
-                                         batch_size=4096, concurrency=(1, 4))
+    partials = ds_embeddings.map_batches(partial_topk, batch_format="pyarrow",
+                                         batch_size=4096)
 
     def final_merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
