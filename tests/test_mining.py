@@ -180,3 +180,47 @@ def test_valmod_prefers_shorter_or_equal_normalized():
         p = len(prof.mp)
         finite = np.isfinite(prof.mp)
         assert (vm["mp"][:p][finite] <= prof.mp[finite] / np.sqrt(w) + 1e-9).all()
+
+
+def test_floss_cac_final_per_value_parity_with_batch():
+    """FLOSS streaming ``cac_final`` bookkeeping (window rebase, online
+    Kumaraswamy ideal, per-chunk append slices — fluss.R:440-448 semantics)
+    must equal a BATCH recomputation at every chunk boundary, elementwise.
+
+    With data_window ≥ len(x) the streaming profile equals the batch profile
+    (stompi exactness, tested elsewhere), so each appended cac slice must
+    match floss_cac_online over the batch profile prefix."""
+    from tsmp_ray.kernels.mining import floss_cac_online
+    from tsmp_ray.kernels.stomp import stomp
+    from tsmp_ray.stages.floss_stage import FlossState
+
+    rng = np.random.default_rng(13)
+    w, chunk = 8, 25
+    x = np.concatenate([
+        np.sin(np.linspace(0, 20 * np.pi, 250)) + rng.standard_normal(250) * 0.1,
+        rng.standard_normal(250) * 0.5,
+    ])
+    data_window = len(x) + 10  # no truncation: stream == batch
+
+    st = FlossState(w, data_window, threshold=0.45)
+    st.append(x, chunk=chunk)
+    got = np.asarray(st.cac_final)
+
+    # batch recomputation of every appended slice
+    expect = []
+    seeded = max(2 * w, w + 2)  # FlossState seeds its profile at this size
+    boundaries = []
+    seen = 0
+    for lo in range(0, len(x), chunk):
+        seen += len(x[lo : lo + chunk])
+        if seen >= seeded:
+            boundaries.append((seen, min(len(x[lo : lo + chunk]), seen)))
+    first = True
+    for seen, nappend in boundaries:
+        if first:
+            first = False  # seeding chunk contributes no cac slice
+            continue
+        prof = stomp(x[:seen], w)
+        cac = floss_cac_online(prof.pi.copy(), w, len(prof.pi), online=False)
+        expect.extend(cac[-nappend:].tolist())
+    np.testing.assert_allclose(got, np.asarray(expect), atol=1e-12)

@@ -1,0 +1,98 @@
+"""Known-answer tests on the REFERENCE'S OWN datasets, loaded straight from
+/root/reference/data/*.rda via the engine's RData reader — pinning this
+engine to the reference's published expectations (VERDICT round-1 item 6):
+
+- FLUSS segments c(941, 875, 141) and CAC moments on mp_fluss_data$tilt_abp
+  (/root/reference/tests/testthat/test-fluss.R:16-33)
+- motif pairs c(33,102) / c(9,127) on mp_toy_data
+  (/root/reference/tests/testthat/test-stomp-search.R:10-16)
+
+All reference indices are 1-based; the engine is 0-based (subtract 1).
+"""
+
+import numpy as np
+import pytest
+
+from tsmp_ray.sources.rdata import read_rda
+
+REF_DATA = "/root/reference/data"
+
+
+@pytest.fixture(scope="module")
+def tilt_abp():
+    d = read_rda(f"{REF_DATA}/mp_fluss_data.rda")["mp_fluss_data"]
+    return d["tilt_abp"]["data"].ravel(order="F")
+
+
+@pytest.fixture(scope="module")
+def toy():
+    d = read_rda(f"{REF_DATA}/mp_toy_data.rda")["mp_toy_data"]
+    return d["data"], int(d["sub_len"][0])
+
+
+def test_rda_reader_shapes():
+    gait = read_rda(f"{REF_DATA}/mp_gait_data.rda")["mp_gait_data"]
+    assert gait.shape == (904, 1)
+    small = read_rda(f"{REF_DATA}/motifs_discords_small.rda")[
+        "motifs_discords_small"]
+    assert small.shape == (875,)
+    test_data = read_rda(f"{REF_DATA}/mp_test_data.rda")["mp_test_data"]
+    assert test_data["train"]["data"].shape == (215010, 1)
+    assert test_data["train"]["label"].shape == (215010, 1)
+
+
+def test_fluss_known_answer_tilt_abp(tilt_abp):
+    """test-fluss.R:16-33: segments c(941,875,141), CAC moments, score."""
+    from tsmp_ray.kernels.mining import fluss_cac, fluss_extract, fluss_score
+    from tsmp_ray.kernels.stomp import stomp
+
+    data = tilt_abp[:1000]
+    w = 10
+    prof = stomp(data, w)
+    cac = fluss_cac(prof)
+    # reference moments (sample sd): round(mean,4)=0.9941, round(sd,4)=0.0187,
+    # round(min,4)=0.8838, max == 1
+    assert round(float(cac.mean()), 4) == 0.9941
+    assert round(float(cac.std(ddof=1)), 4) == 0.0187
+    assert round(float(cac.min()), 4) == 0.8838
+    assert float(cac.max()) == 1.0
+
+    segs = fluss_extract(cac, w, num_segments=3)
+    assert segs == [941 - 1, 875 - 1, 141 - 1]  # c(941, 875, 141), 1-based
+
+    score = fluss_score(np.array([400 - 1]), np.array(segs), len(data))
+    assert round(score, 3) == 0.259
+
+
+def test_motif_known_answer_toy(toy):
+    """test-stomp-search.R:10-16: motif pairs c(33,102) and c(9,127)."""
+    from tsmp_ray.kernels.mining import find_motifs
+    from tsmp_ray.kernels.stomp import stomp
+
+    data, w = toy
+    x = data[:200, 0]
+    prof = stomp(x, w)
+    motifs = find_motifs(x, prof, n_motifs=2)
+    assert motifs[0]["motifs"] == [33 - 1, 102 - 1]
+    assert motifs[1]["motifs"] == [9 - 1, 127 - 1]
+    assert motifs[0]["w"] == 30  # motif_window[[1]] == 30
+
+
+def test_floss_known_answer_tilt_abp(tilt_abp):
+    """test-fluss.R:20-33 streaming FLOSS on the reference's own data:
+    floss(mp, tilt_abp[1001:2000], 1001) finds the regime change at 1649
+    (1-based). The engine's reference-parity driver (kernels/floss_ref.py)
+    reproduces the segment POSITION exactly; cac moments agree to ~3 decimals
+    (residual = argmin tie-breaks between our FFT distance profiles and R's
+    streaming recurrence on near-equal distances), asserted with tolerance."""
+    from tsmp_ray.kernels.floss_ref import floss_ref
+
+    res = floss_ref(tilt_abp[:1000], tilt_abp[1000:2000], 1001, 10)
+    assert res["floss"] == [1649 - 1]              # exact position parity
+    assert abs(res["floss_vals"][0] - 0.871) < 5e-3
+    cac = res["cac"]
+    assert abs(cac.mean() - 0.8643) < 1e-3         # ref: round(mean,4)=0.8643
+    assert abs(cac.std(ddof=1) - 0.2007) < 1e-3    # ref: round(sd,4)=0.2007
+    assert round(float(cac.min()), 3) == 0.0
+    assert float(cac.max()) == 1.0
+    assert abs(np.nanmean(res["cac_final"]) - 0.9755) < 1e-3

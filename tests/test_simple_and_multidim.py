@@ -110,3 +110,42 @@ def test_compute_api_dispatch():
     assert len(paa_prof.mp) == 150 - 8 + 1
     res = analyze_series(x, 16)
     assert res["motifs"] or res["discords"]
+
+
+def test_mstomp_directional_1d_equals_stomp():
+    """mstomp(1-d) lmp/lpi/rmp/rpi must equal the univariate stomp's
+    directional profiles (engine convention: left = j<i, right = j>i)."""
+    from tsmp_ray.kernels.stomp import stomp
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal(300).cumsum()
+    w = 12
+    ms = mstomp(x, w)
+    st = stomp(x, w)
+    np.testing.assert_allclose(ms.mp[0], st.mp, atol=2e-5)
+    np.testing.assert_allclose(ms.lmp[0], st.lmp, atol=2e-5)
+    np.testing.assert_allclose(ms.rmp[0], st.rmp, atol=2e-5)
+    np.testing.assert_array_equal(ms.lpi[0], st.lpi)
+    np.testing.assert_array_equal(ms.rpi[0], st.rpi)
+
+
+def test_mstomp_directional_shapes_and_chains():
+    from tsmp_ray.kernels.mining import find_chains_multidim
+
+    rng = np.random.default_rng(9)
+    n, w = 400, 10
+    pat = np.sin(np.linspace(0, 2 * np.pi, w))
+    x = rng.standard_normal(n) * 0.2
+    # drifting repeated pattern -> chain material in dim 0
+    for s in range(20, n - w, 40):
+        x[s : s + w] += pat * (1 + s / 400)
+    data = np.stack([x, rng.standard_normal(n).cumsum()], axis=1)
+    ms = mstomp(data, w)
+    assert ms.lmp.shape == ms.mp.shape == ms.rmp.shape
+    # left/right envelope: mp == min(lmp, rmp) where any finite
+    both = np.minimum(ms.lmp, ms.rmp)
+    m = np.isfinite(both)
+    np.testing.assert_allclose(ms.mp[m], both[m], atol=1e-12)
+    chains = find_chains_multidim(ms)
+    assert set(chains) == {1, 2}
+    assert all("best" in c for c in chains.values())

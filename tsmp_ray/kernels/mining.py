@@ -21,7 +21,8 @@ from .profile_types import MatrixProfile
 from .stomp import stomp
 
 __all__ = [
-    "find_motifs", "find_discords", "find_chains", "fluss_cac", "fluss_extract",
+    "find_motifs", "find_discords", "find_chains", "find_chains_multidim",
+    "fluss_cac", "fluss_extract",
     "fluss", "fluss_score", "floss_cac_online", "mpdist", "mpdist_vect",
     "find_snippet", "av_zerocrossing", "av_complexity", "av_motion_artifact",
     "av_stop_word", "av_hardlimit_artifact", "av_apply", "pmp", "valmod",
@@ -145,6 +146,20 @@ def find_chains(profile: MatrixProfile) -> dict:
             best_mean = m
             best = c
     return {"chains": chains, "best": best}
+
+
+def find_chains_multidim(mmp) -> dict[int, dict]:
+    """Chains per k-dimensional profile row of a :class:`MultiMatrixProfile`
+    (directional rows from /root/reference/R/mstomp.R:294-306 feed the same
+    lpi/rpi pointer-chase as the univariate case, find-chains.R:18-77).
+    Returns {k_dim (1-based): chains dict}."""
+    out: dict[int, dict] = {}
+    for k in range(mmp.mp.shape[0]):
+        prof = MatrixProfile(mp=mmp.mp[k], pi=mmp.pi[k], w=mmp.w, ez=mmp.ez,
+                             lmp=mmp.lmp[k], lpi=mmp.lpi[k],
+                             rmp=mmp.rmp[k], rpi=mmp.rpi[k])
+        out[k + 1] = find_chains(prof)
+    return out
 
 
 # ---------------------------------------------------------------- FLUSS

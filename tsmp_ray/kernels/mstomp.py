@@ -34,6 +34,13 @@ class MultiMatrixProfile:
     n_dim: int
     must: list
     exc: list
+    # directional per-dimension profiles (/root/reference/R/mstomp.R:294-306);
+    # engine convention (matches kernels/stomp.py): left = min over j < i,
+    # right = min over j > i, both after exclusion-zone masking
+    lmp: np.ndarray | None = None
+    lpi: np.ndarray | None = None
+    rmp: np.ndarray | None = None
+    rpi: np.ndarray | None = None
 
 
 def mstomp(
@@ -84,6 +91,28 @@ def mstomp(
 
     mp = np.full((n_keep, p), np.inf)
     pi = np.full((n_keep, p), -1, dtype=np.int64)
+    lmp = np.full((n_keep, p), np.inf)
+    lpi = np.full((n_keep, p), -1, dtype=np.int64)
+    rmp = np.full((n_keep, p), np.inf)
+    rpi = np.full((n_keep, p), -1, dtype=np.int64)
+
+    def _directional(avg_row: np.ndarray, k: int, i: int) -> None:
+        """Fill mp/lmp/rmp row k at query index i from the k-dim averaged
+        distance row (squared units)."""
+        j = int(np.argmin(avg_row))
+        if np.isfinite(avg_row[j]):
+            mp[k, i] = avg_row[j]
+            pi[k, i] = j
+        if i > 0:
+            jl = int(np.argmin(avg_row[:i]))
+            if np.isfinite(avg_row[jl]):
+                lmp[k, i] = avg_row[jl]
+                lpi[k, i] = jl
+        if i < p - 1:
+            jr = i + 1 + int(np.argmin(avg_row[i + 1 :]))
+            if np.isfinite(avg_row[jr]):
+                rmp[k, i] = avg_row[jr]
+                rpi[k, i] = jr
 
     qt = QT_first.copy()  # (dk × p): row i of each dim's QT matrix
     for i in range(p):
@@ -112,21 +141,17 @@ def mstomp(
             for k in range(n_must - 1, n_keep):
                 n_opt = k + 1 - n_must
                 tot = (base + cum[n_opt]) / (k + 1)
-                j = int(np.argmin(tot))
-                if np.isfinite(tot[j]):
-                    mp[k, i] = tot[j]
-                    pi[k, i] = j
+                _directional(tot, k, i)
         else:
             srt = np.sort(dist, axis=0)
             cum = np.cumsum(srt, axis=0)
             denom = np.arange(1, n_keep + 1)[:, None]
             avg = cum / denom
-            j_star = np.argmin(avg, axis=1)
-            vals = avg[np.arange(n_keep), j_star]
-            ok = np.isfinite(vals)
-            mp[ok, i] = vals[ok]
-            pi[ok, i] = j_star[ok]
+            for k in range(n_keep):
+                _directional(avg[k], k, i)
 
-    mp = np.sqrt(mp)  # back to ED (reference sqrt-at-end, mstomp.R:262-264)
-    return MultiMatrixProfile(mp=mp, pi=pi, w=w, ez=ez, n_dim=n_keep,
-                              must=must, exc=exc)
+    # back to ED (reference sqrt-at-end, mstomp.R:262-264)
+    return MultiMatrixProfile(mp=np.sqrt(mp), pi=pi, w=w, ez=ez, n_dim=n_keep,
+                              must=must, exc=exc,
+                              lmp=np.sqrt(lmp), lpi=lpi,
+                              rmp=np.sqrt(rmp), rpi=rpi)

@@ -157,6 +157,8 @@ def chains_op(conv_id, batch, r, *, w: int, ez: float = DEFAULT_EZ,
 _MSTOMP_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("k_dim", pa.int64()),
     ("window_idx", pa.int64()), ("mp", pa.float64()), ("pi", pa.int64()),
+    ("lmp", pa.float64()), ("lpi", pa.int64()),
+    ("rmp", pa.float64()), ("rpi", pa.int64()),
 ])
 
 
@@ -179,6 +181,10 @@ def mstomp_op(conv_id, batch, r, *, w: int,
         "window_idx": pa.array(idx),
         "mp": pa.array(res.mp.reshape(-1)),
         "pi": pa.array(res.pi.reshape(-1).astype(np.int64)),
+        "lmp": pa.array(res.lmp.reshape(-1)),
+        "lpi": pa.array(res.lpi.reshape(-1).astype(np.int64)),
+        "rmp": pa.array(res.rmp.reshape(-1)),
+        "rpi": pa.array(res.rpi.reshape(-1).astype(np.int64)),
     }, schema=_MSTOMP_SCHEMA)
 
 

@@ -165,60 +165,73 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         num_cpus=1,
     )
 
-    big_rows = ds_packed.filter(
-        expr=f"n_turns > {cfg.salt_turn_threshold}"
-    ).take_all()  # the skewed tail: a handful of conversations by design
-    if not big_rows:
+    big = ds_packed.filter(expr=f"n_turns > {cfg.salt_turn_threshold}")
+    ds_big = _sharded_profiles_ds(big, cfg, pool)
+    if ds_big is None:
         return profiles_small
-
-    ds_big = ray.data.from_arrow(_sharded_profiles(big_rows, cfg, pool))
     return profiles_small.union(ds_big)
 
 
-def _sharded_profiles(rows: list[dict], cfg: EngineConfig,
-                      pool: int = 8) -> pa.Table:
-    """Diagonal-range fan-out for the long conversations.
+def _diag_splits(n: int, w: int, zone: int, n_shards: int) -> list[tuple[int, int]]:
+    """Equal-AREA diagonal ranges: diagonal k costs (p-k), so split the
+    triangle, not the index range (skew note SURVEY.md §7.4). Planning needs
+    only the series LENGTH."""
+    p = n - w + 1
+    ks = np.arange(zone + 1, p)
+    if not len(ks):
+        return []
+    costs = (p - ks).cumsum()
+    edges = np.searchsorted(costs, np.linspace(0, costs[-1], n_shards + 1)[1:-1])
+    return [(int(sp[0]), int(sp[-1]) + 1) for sp in np.split(ks, edges) if len(sp)]
 
-    ALL (conv, signal, diagonal-range) shard tasks are submitted before any
-    result is awaited, so the skewed tail parallelizes across conversations
-    and signals as well as within one profile; partials min-merge per key
-    (the reference's merge contract, /root/reference/R/stomp-par.R:249-264).
-    """
+
+def _sharded_profiles_ds(big_ds, cfg: EngineConfig, pool: int = 8):
+    """Diagonal-range fan-out for the long conversations, entirely through
+    the object store: the packed Dataset's own BLOCKS are handed to shard
+    tasks by reference (every shard of a conv reads the block zero-copy from
+    plasma), partial profiles min-merge in a reduce task per (conv, signal)
+    (the reference's merge contract, /root/reference/R/stomp-par.R:249-264),
+    and the merged profile rows come back as a Dataset via
+    ``from_arrow_refs``. The driver only ever sees (conv_id, n_turns)
+    metadata — no series row materializes on it. Returns None when the
+    filtered tail is empty."""
     import ray
 
     zone = exclusion_zone(cfg.window_size, cfg.ez)
+    w, ez = cfg.window_size, cfg.ez
 
     @ray.remote
-    def _shard(series_ref, w, ez, lo, hi):
-        state = prepare_series(series_ref, w)
+    def _block_meta(tbl: pa.Table):
+        return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
+
+    @ray.remote
+    def _shard(tbl: pa.Table, row: int, sig: str, lo: int, hi: int):
+        series = (tbl[sig][row].values.to_numpy(zero_copy_only=False)
+                  .astype(np.float64, copy=False))
+        state = prepare_series(series, w)
         diags = np.arange(lo, min(hi, state.p), dtype=np.int64)
         return mpx_diagonals(state, diags, ez=ez)
 
-    futs: list[tuple[str, str, object]] = []
-    for row in rows:
-        conv_id = row["conv_id"]
-        for sig in SIGNAL_COLUMNS:
-            series = np.asarray(row[sig], dtype=np.float64)
-            if len(series) < 2 * cfg.window_size:
-                continue
-            p = len(series) - cfg.window_size + 1
-            n_shards = max(2, pool)
-            # equal-AREA diagonal ranges: diagonal k costs (p-k), so split
-            # the triangle, not the index range (skew note SURVEY.md §7.4)
-            ks = np.arange(zone + 1, p)
-            costs = (p - ks).cumsum()
-            edges = np.searchsorted(
-                costs, np.linspace(0, costs[-1], n_shards + 1)[1:-1])
-            splits = [sp for sp in np.split(ks, edges) if len(sp)]
-            series_ref = ray.put(series)  # broadcast once, not per task
-            for sp in splits:
-                futs.append((conv_id, sig,
-                             _shard.remote(series_ref, cfg.window_size,
-                                           cfg.ez, int(sp[0]), int(sp[-1]) + 1)))
-    results = ray.get([f for _, _, f in futs])
-    merged: dict[tuple[str, str], object] = {}
-    for (conv_id, sig, _), part in zip(futs, results):
-        key = (conv_id, sig)
-        merged[key] = part if key not in merged else merge_min(merged[key], part)
-    outs = [profile_to_rows(c, s, prof) for (c, s), prof in merged.items()]
-    return pa.concat_tables(outs) if outs else PROFILE_SCHEMA.empty_table()
+    @ray.remote
+    def _merge_rows(conv_id: str, sig: str, *parts):
+        prof = parts[0]
+        for part in parts[1:]:
+            prof = merge_min(prof, part)
+        return profile_to_rows(conv_id, sig, prof)
+
+    table_refs = []
+    for bundle in big_ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            conv_ids, n_turns = ray.get(_block_meta.remote(block_ref))
+            for row, (cid, n) in enumerate(zip(conv_ids, n_turns)):
+                if n < 2 * w:
+                    continue
+                splits = _diag_splits(int(n), w, zone, max(2, pool))
+                for sig in SIGNAL_COLUMNS:
+                    shard_refs = [_shard.remote(block_ref, row, sig, lo, hi)
+                                  for lo, hi in splits]
+                    if shard_refs:
+                        table_refs.append(_merge_rows.remote(cid, sig, *shard_refs))
+    if not table_refs:
+        return None
+    return ray.data.from_arrow_refs(table_refs)
