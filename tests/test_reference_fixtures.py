@@ -96,3 +96,82 @@ def test_floss_known_answer_tilt_abp(tilt_abp):
     assert round(float(cac.min()), 3) == 0.0
     assert float(cac.max()) == 1.0
     assert abs(np.nanmean(res["cac_final"]) - 0.9755) < 1e-3
+
+
+@pytest.fixture(scope="module")
+def tilt_mid_profile(tilt_abp):
+    """tilt_abp[20000:30000] (R 1-based) with its embedded window=210 — the
+    test-subset.R workload."""
+    from tsmp_ray.kernels.stomp import stomp
+
+    data = tilt_abp[19999:30000]
+    return data, stomp(data, 210)
+
+
+def test_subset_known_answers_tilt_abp(tilt_mid_profile):
+    """test-subset.R:52-75 on the reference's own data: motif pair, discord
+    and their subset-filtered neighbor sets match exactly after rebasing."""
+    from tsmp_ray.kernels.mining import find_discords, find_motifs, fluss_cac
+    from tsmp_ray.kernels.subset import (
+        rebase_discords, rebase_motifs, subset_profile,
+    )
+
+    data, prof = tilt_mid_profile
+    cac = fluss_cac(prof)
+    # test-subset.R:77-81 CAC moments
+    assert round(float(cac.mean()), 3) == 0.377
+    assert round(float(cac.std(ddof=1)), 3) == 0.341
+    assert round(float(cac.min()), 3) == 0.0
+    assert float(cac.max()) == 1.0
+
+    motifs = find_motifs(data, prof, n_motifs=3)
+    # subset 1000:3000 (1-based) -> start=999, and "Sub Motif" expects
+    # motif_idx c(366,1147), neighbors c(1348,560,175,1552,951) (1-based)
+    sub = subset_profile(prof, 999, 3000)
+    reb = rebase_motifs(motifs, 999, len(sub.mp))
+    assert [j + 1 for j in reb[0]["motifs"]] == [366, 1147]
+    assert [j + 1 for j in reb[0]["neighbors"]] == [1348, 560, 175, 1552, 951]
+
+    discords = find_discords(data, prof, n_discords=1)
+    # subset 1000:9000 -> "Sub Discord" expects idx 3891, neighbor 633
+    sub2 = subset_profile(prof, 999, 9000)
+    reb2 = rebase_discords(discords, 999, len(sub2.mp))
+    assert reb2[0]["discord"] + 1 == 3891
+    assert [j + 1 for j in reb2[0]["neighbors"]] == [633]
+
+
+def test_subset_chain_head_tail_known_answers(tilt_mid_profile):
+    """test-subset.R:63-75 Head/Tail Chain sums (1-based sums 39574 / 14625)."""
+    from tsmp_ray.kernels.mining import find_chains
+    from tsmp_ray.kernels.subset import head_profile, rebase_chains, tail_profile
+
+    data, prof = tilt_mid_profile
+    chain = find_chains(prof)
+
+    h = head_profile(prof, 8000)
+    hr = rebase_chains(chain, h.extra["offset"], len(h.mp))
+    assert len(hr["best"]) == 6
+    assert sum(j + 1 for j in hr["best"]) == 39574
+
+    t = tail_profile(prof, 4000)
+    tr = rebase_chains(chain, t.extra["offset"], len(t.mp))
+    assert len(tr["best"]) == 9
+    assert sum(j + 1 for j in tr["best"]) == 14625
+
+
+def test_subset_profile_rebase_invariants(tilt_mid_profile):
+    from tsmp_ray.kernels.subset import subset_profile
+
+    data, prof = tilt_mid_profile
+    sub = subset_profile(prof, 500, 5000)
+    p_new = 4500 - 210 + 1
+    assert len(sub.mp) == p_new
+    np.testing.assert_allclose(sub.mp, prof.mp[500 : 500 + p_new])
+    valid = sub.pi >= 0
+    # rebased pi point at the same absolute windows
+    np.testing.assert_array_equal(sub.pi[valid] + 500,
+                                  prof.pi[500 : 500 + p_new][valid])
+    assert sub.extra["offset"] == 500
+    # double subset accumulates offset
+    sub2 = subset_profile(sub, 100, 2000)
+    assert sub2.extra["offset"] == 600

@@ -521,11 +521,17 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
     best_w = np.full(p_out, -1, dtype=np.int64)
     best_pi = np.full(p_out, -1, dtype=np.int64)
     raw = np.full(p_out, np.inf)  # non-length-normalized variant
+    # best motif distance per window size — the reference's motif-evolution
+    # output: min(mp)² · sqrt(1/w) per swept window (valmod.R:312,657,693)
+    evolution = np.full(window_max - window_min + 1, np.inf)
     for w in range(window_min, window_max + 1):
         p = len(data) - w + 1
         if p < 2:
             break
         prof = mpx(data, w, ez=ez)
+        finite = prof.mp[np.isfinite(prof.mp)]
+        if len(finite):
+            evolution[w - window_min] = float(finite.min()) ** 2 * np.sqrt(1.0 / w)
         scaled = prof.mp * np.sqrt(1.0 / w)
         upd = scaled < best[:p]
         best[:p][upd] = scaled[upd]
@@ -533,6 +539,7 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
         best_w[:p][upd] = w
         best_pi[:p][upd] = prof.pi[upd]
     return {"mp": best, "mp_raw": raw, "w": best_w, "pi": best_pi,
+            "evolution_motif": evolution,
             "window_min": window_min, "window_max": window_max}
 
 
