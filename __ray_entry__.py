@@ -4,8 +4,8 @@ Ray is initialised by the driver BEFORE this module is imported: nothing here
 (or in tsmp_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
 - ``entry()``      : flagship pipeline on /root/testdata/sf0.001 — derive
-  per-conversation signals from the events-based transcript table, roll up to
-  the 1m tier with gap-fill, and return the tier points Dataset.
+  per-conversation signals from the events-based transcript table, roll up
+  1m→1h→1d and return the GAP-FILLED 1d tier points Dataset.
 - ``queries()``    : one callable per implemented operator/pipeline from
   SURVEY.md §2 (+ the training-data ops), each taking ``sf_dir``.
 - ``oracle_sql()`` : equivalent DuckDB SQL for the SQL-expressible subset;

@@ -59,13 +59,20 @@ BENCH_SHAPES = {
     "sf0.001": (20, 150, 2_000, 1_200),
     "sf0.01": (60, 800, 8_000, 6_000),
     "sf0.1": (500, 2_500, 24_000, 18_000),
+    # the SCALING workload: 4× the conv count of sf0.1 (~5M turns, ~730
+    # kernel-CPU-seconds) so the 32-CPU level is still compute-dominated —
+    # at sf0.1 scale the 32-CPU core is ~25s and fixed per-stage
+    # orchestration overhead caps strong-scaling efficiency at ~0.64. Both
+    # levels run THIS SAME input (the north-rule requirement).
+    "scaling": (2_000, 2_500, 24_000, 18_000),
 }
 
 
 def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
     import pyarrow.parquet as pq
 
-    name = os.path.basename(os.path.normpath(sf_dir))
+    name = os.environ.get("GRAFT_BENCH_SHAPE") \
+        or os.path.basename(os.path.normpath(sf_dir))
     n_convs, mean_turns, long_turns, max_turns = BENCH_SHAPES.get(
         name, BENCH_SHAPES["sf0.1"])
     path = f"/tmp/tsmp_bench_cache/transcripts_{name}.parquet"
@@ -227,18 +234,24 @@ def run_scaling() -> dict:
     hi_n = int(os.environ.get("SCALE_HI", "32"))
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True,
-                             cwd=os.path.dirname(os.path.abspath(__file__)))
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_SHAPE=os.environ.get("SCALE_SHAPE", "scaling"))
+        last_err = ""
+        for _attempt in range(2):  # one retry on transient Ray failures
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 cwd=os.path.dirname(os.path.abspath(__file__)))
+            if out.returncode == 0 and out.stdout.strip():
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            last_err = out.stderr[-2000:]
+        raise RuntimeError(f"bench subprocess failed at num_cpus={ncpu}:\n{last_err}")
 
     core = lambda r: (r["queries"]["pack_series"] + r["queries"]["rollup_tiers"]
                       + r["queries"]["profiles"])
-    run(hi_n)  # warm OS page cache + bench-input cache (untimed)
-    lo = min(run(lo_n), run(lo_n), key=core)
-    hi = min(run(hi_n), run(hi_n), key=core)
+    # each bench invocation already reports min-of-2 per stage, so one
+    # invocation per level suffices; hi first warms the input cache
+    hi = run(hi_n)
+    lo = run(lo_n)
     eff = (core(lo) / core(hi)) / (hi_n / lo_n)
     return {
         "cpus": [lo_n, hi_n],

@@ -53,7 +53,11 @@ def test_all_queries_run_and_oracles_match(ray_session, con):
     assert set(oracles) <= set(qs)
     failures = []
     for name, fn in qs.items():
-        got = to_pandas(fn(SF))
+        try:
+            got = to_pandas(fn(SF))
+        except Exception as e:  # keep going: report ALL broken queries
+            failures.append((name, f"EXECUTION ERROR: {e!r}"[:800]))
+            continue
         assert len(got) >= 0  # runs, has a schema
         if name not in oracles:
             continue

@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..config import EngineConfig
+from ..config import EngineConfig, exclusion_zone
 from ..sources.transcripts import TRANSCRIPTS_FROM_EVENTS_SQL, transcripts_from_events
 from ..stages import dedup as dd
 from ..stages import knn as knn_mod
@@ -198,6 +198,86 @@ SELECT doc_id, n_chars, punct_ratio, stop_ratio, mean_word_len, upper_ratio,
      + least(greatest(1.0 - abs(mean_word_len - 5.0) / 5.0, 0), 1) * 0.2
      + least(greatest(1.0 - 3.0 * upper_ratio, 0), 1) * 0.1 AS quality
 FROM r
+"""
+
+def mp_exact_sql(w: int, zone: int) -> str:
+    """Matrix profile in pure SQL: per-window population mean/sd, z-normalized
+    window rows, pairwise Σ(zi-zj)² over a (conv, k)-equijoin with the
+    |i-j|>zone band filter, min per i, sqrt, round 6 — the same arithmetic as
+    ``mp_exact_op`` (sd==0 windows dropped both sides). Bounded to the 10
+    smallest conv_ids so the O(p²·w) join stays cheap at sf0.01."""
+    return _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, sel AS (SELECT DISTINCT conv_id FROM transcripts ORDER BY conv_id LIMIT 10)
+, pos AS (
+  SELECT s.conv_id,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1
+           AS posn,
+         s.text_len AS v,
+         count(*) OVER (PARTITION BY s.conv_id) AS n
+  FROM sig s JOIN sel USING (conv_id)
+),
+stats AS (
+  SELECT conv_id, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd, n
+  FROM pos
+  WINDOW win AS (PARTITION BY conv_id ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+st AS (SELECT * FROM stats WHERE i <= n - {w} AND n >= {2 * w} AND sd > 0),
+zt AS (
+  SELECT p.conv_id, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
+  FROM pos p JOIN st ON p.conv_id = st.conv_id
+                     AND p.posn BETWEEN st.i AND st.i + {w - 1}
+),
+d AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j,
+         sum((a.z - b.z) * (a.z - b.z)) AS d2
+  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
+                      AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3
+)
+SELECT conv_id, i AS window_idx, round(sqrt(min(d2)), 6) AS mp
+FROM d GROUP BY 1, 2
+"""
+
+
+# lang_id: replicate LangId.classify exactly (stages/text.py) — CJK check,
+# lowercased [\w'’]+ tokens, per-language stopword ratios, strict-greater
+# first-wins scan in en/de/fr/es order, 'und' for empty, latin default 'en'.
+# Ratios are int/int divisions → tie behavior matches Python bit-for-bit.
+LANG_ID_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         list_transform(regexp_extract_all(text, '[\\w''’]+'), w -> lower(w)) AS toks,
+         regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk
+  FROM documents
+),
+s AS (
+  SELECT doc_id, lang, cjk, len(toks) AS ntok,
+    CAST(len(list_filter(toks, x -> x IN
+      ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE)
+      / greatest(len(toks), 1) AS s_en,
+    CAST(len(list_filter(toks, x -> x IN
+      ('der','die','das','und','ist','nicht','ein','mit','für','auf'))) AS DOUBLE)
+      / greatest(len(toks), 1) AS s_de,
+    CAST(len(list_filter(toks, x -> x IN
+      ('le','la','les','et','est','pas','un','une','pour','dans'))) AS DOUBLE)
+      / greatest(len(toks), 1) AS s_fr,
+    CAST(len(list_filter(toks, x -> x IN
+      ('el','la','los','y','es','no','un','una','por','para'))) AS DOUBLE)
+      / greatest(len(toks), 1) AS s_es
+  FROM t
+)
+SELECT doc_id, lang,
+  CASE WHEN cjk THEN 'zh'
+       WHEN ntok = 0 THEN 'und'
+       WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'en'
+       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM s
 """
 
 # av_complexity over each conv's text_len: znorm (population sd, ≤0.01 →
@@ -605,6 +685,19 @@ def q_annotation(sf_dir: str):
                           {"w": CFG.window_size, "round_dp": 6})
 
 
+def q_mp_exact(sf_dir: str):
+    """Oracle-checked matrix profile (text_len, w=8) over the 10 smallest
+    conv_ids — the flagship correctness gate: a SQL self-join computes the
+    identical znorm-ED profile (see MP_EXACT_SQL), distributed per conv."""
+    from ..stages.mining_stage import mp_exact_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, mp_exact_op,
+        {"w": CFG.window_size, "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
 def q_dist_profile(sf_dir: str):
     """Per-conv MASS v3 + weighted distance profiles (dist_profile dispatcher
     coverage incl. mass_pre_w/mass_weighted), distributed per conv."""
@@ -731,6 +824,7 @@ QUERIES = {
     "mining": q_mining,
     "fluss_segments": q_fluss_segments,
     "chains": q_chains,
+    "mp_exact": q_mp_exact,
     "dist_profile": q_dist_profile,
     "mpdist_pairs": q_mpdist,
     "pmp": q_pmp,
@@ -755,7 +849,10 @@ ORACLES = {
     "rollup_packed_roundtrip": PACKED_SQL,
     "gap_fill_1d": gap_fill_sql("1d"),
     "doc_quality": DOC_QUALITY_SQL,
+    "lang_id": LANG_ID_SQL,
     "annotation": annotation_sql(CFG.window_size),
+    "mp_exact": mp_exact_sql(CFG.window_size,
+                             exclusion_zone(CFG.window_size, CFG.ez)),
     "retention_1m": retention_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_dedup": MINHASH_SQL,

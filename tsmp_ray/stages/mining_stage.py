@@ -250,6 +250,55 @@ def distprofile_op(conv_id, batch, r, *, w: int, signal: str = "text_len",
     }, schema=_DISTPROF_SCHEMA)
 
 
+_MP_EXACT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()), ("mp", pa.float64()),
+])
+
+
+def mp_exact_op(conv_id, batch, r, *, w: int, zone: int,
+                signal: str = "text_len", round_dp: int = 6):
+    """Oracle-order matrix profile: per window, z-normalize with population
+    mean/sd (windows with sd == 0 dropped on BOTH sides), distance =
+    sqrt(min over |i-j|>zone of Σ_k (zi_k - zj_k)²) — the exact arithmetic a
+    SQL self-join oracle performs, so rounded values hash-match. This is the
+    oracle-friendly flagship-correctness query; the production kernels
+    (blocked/mpx) are validated against brute force in pytest."""
+    if conv_id is None:
+        return _MP_EXACT_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    win = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = win.mean(axis=1)
+    sd = win.std(axis=1)
+    ok = sd > 0
+    z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
+    p = len(win)
+    # pairwise squared distances between z-rows (vectorized, oracle order in
+    # the k-sum is absorbed by round_dp)
+    d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2) if p <= 2048 else None
+    if d2 is None:
+        # blocked evaluation for long convs (bounded memory)
+        d2 = np.empty((p, p))
+        for lo in range(0, p, 512):
+            blk = z[lo : lo + 512]
+            d2[lo : lo + 512] = ((blk[:, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+    band = np.abs(np.arange(p)[:, None] - np.arange(p)[None, :]) <= zone
+    d2[band] = np.inf
+    d2[~ok, :] = np.inf
+    d2[:, ~ok] = np.inf
+    mp = np.sqrt(d2.min(axis=1))
+    keep = ok & np.isfinite(mp)
+    idx = np.flatnonzero(keep)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(idx), dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(idx.astype(np.int64)),
+        "mp": pa.array(np.round(mp[idx], round_dp)),
+    }, schema=_MP_EXACT_SCHEMA)
+
+
 _ANNOT_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("window_idx", pa.int64()), ("av", pa.float64()),
 ])

@@ -165,7 +165,10 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         num_cpus=1,
     )
 
-    big = ds_packed.filter(expr=f"n_turns > {cfg.salt_turn_threshold}")
+    # materialize the (tiny, by design) filtered tail before iterating its
+    # block refs: iter_internal_ref_bundles on a lazy filter can observe
+    # upstream blocks under operator fusion (seen as a raw-schema KeyError)
+    big = ds_packed.filter(expr=f"n_turns > {cfg.salt_turn_threshold}").materialize()
     ds_big = _sharded_profiles_ds(big, cfg, pool)
     if ds_big is None:
         return profiles_small
@@ -200,8 +203,10 @@ def _sharded_profiles_ds(big_ds, cfg: EngineConfig, pool: int = 8):
     zone = exclusion_zone(cfg.window_size, cfg.ez)
     w, ez = cfg.window_size, cfg.ez
 
-    @ray.remote
+    @ray.remote(num_cpus=0)
     def _block_meta(tbl: pa.Table):
+        # num_cpus=0: the driver BLOCKS on this tiny planning read — it must
+        # never queue behind full CPU slots (deadlock in small sessions)
         return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
 
     @ray.remote

@@ -75,39 +75,81 @@ def resumable_write(ds, out_dir: str, partition_col: str,
     """Write ``ds`` partitioned by ``partition_col``; skip partitions already
     in the manifest. Returns {partition: 'written'|'skipped'}.
 
-    Each partition is filtered from the (lazy) dataset and written to a temp
-    dir, renamed into place, then recorded. Partition values are discovered
-    with a cheap ``unique`` if not given.
+    ONE scan + one ``groupby(partition_col)`` shuffle writes every pending
+    partition in parallel (round-1 shape filtered the full dataset once per
+    value — O(partitions × scan), wrong for high-cardinality keys). Each
+    group task writes its directory atomically (tmp + rename) and drops a
+    ``_SUCCESS`` marker; partitions completed by a crashed run are ADOPTED
+    into the manifest on the next call instead of rewritten, so kill-resume
+    granularity is per partition. Rows are sorted by all columns before the
+    write, making partition bytes deterministic under Ray's nondeterministic
+    in-group ordering (byte-identical resume, tested). Workers write to
+    ``out_dir`` directly — on a multi-node cluster this must be shared
+    storage (the same assumption ``ds.write_parquet`` makes).
     """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     man = Manifest(out_dir)
+
+    # adopt partitions a crashed run finished but never recorded
+    for d in sorted(os.listdir(out_dir)):
+        marker = os.path.join(out_dir, d, "_SUCCESS")
+        if d.startswith(f"{partition_col}=") and not man.done(d) \
+                and os.path.exists(marker):
+            with open(marker) as f:
+                man.record(d, json.load(f))
+
     if partition_values is None:
         partition_values = sorted(ds.unique(partition_col))
-    status = {}
-    for val in partition_values:
-        key = f"{partition_col}={val}"
-        if man.done(key):
-            status[key] = "skipped"
-            continue
+    status = {f"{partition_col}={v}": "skipped" for v in partition_values
+              if man.done(f"{partition_col}={v}")}
+    pending = [v for v in partition_values
+               if not man.done(f"{partition_col}={v}")]
+    if not pending:
+        return status
+
+    val_set = pa.array(pending)
+
+    def only_pending(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[partition_col], value_set=val_set))
+
+    def write_group(batch: pa.Table) -> pa.Table:
         t0 = time.time()
-        part = ds.filter(expr=f"{partition_col} == {val!r}") \
-            if isinstance(val, str) else ds.filter(expr=f"{partition_col} == {val}")
+        val = batch[partition_col][0].as_py()
+        key = f"{partition_col}={val}"
         final = os.path.join(out_dir, key)
-        tmp = final + ".tmp"
+        tmp = f"{final}.tmp-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(final, ignore_errors=True)
-        part.write_parquet(tmp)
-        os.replace(tmp, final)
+        os.makedirs(tmp, exist_ok=True)
+        order = pc.sort_indices(
+            batch, sort_keys=[(c, "ascending") for c in batch.column_names])
         import pyarrow.parquet as pq
-        n_rows = sum(pq.read_metadata(os.path.join(final, f)).num_rows
-                     for f in os.listdir(final) if f.endswith(".parquet"))
-        man.record(key, {
+
+        pq.write_table(batch.take(order), os.path.join(tmp, "part-0.parquet"))
+        entry = {
             "inputs": inputs or [],
-            "rows": n_rows,
-            "content_crc32": _content_hash(final),
+            "rows": batch.num_rows,
+            "content_crc32": _content_hash(tmp),
             "wall_sec": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        })
-        status[key] = "written"
+        }
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
+            json.dump(entry, f)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+        return pa.table({"partition": pa.array([key]),
+                         "entry": pa.array([json.dumps(entry)])})
+
+    markers = (
+        ds.map_batches(only_pending, batch_format="pyarrow")
+        .groupby(partition_col)
+        .map_groups(write_group, batch_format="pyarrow")
+        .take_all()
+    )
+    for m in markers:
+        man.record(m["partition"], json.loads(m["entry"]))
+        status[m["partition"]] = "written"
     return status
 
 
