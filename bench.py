@@ -59,12 +59,13 @@ BENCH_SHAPES = {
     "sf0.001": (20, 150, 2_000, 1_200),
     "sf0.01": (60, 800, 8_000, 6_000),
     "sf0.1": (500, 2_500, 24_000, 18_000),
-    # the SCALING workload: 4× the conv count of sf0.1 (~5M turns, ~730
-    # kernel-CPU-seconds) so the 32-CPU level is still compute-dominated —
-    # at sf0.1 scale the 32-CPU core is ~25s and fixed per-stage
-    # orchestration overhead caps strong-scaling efficiency at ~0.64. Both
-    # levels run THIS SAME input (the north-rule requirement).
-    "scaling": (2_000, 2_500, 24_000, 18_000),
+    # the SCALING workload: 4× the conv count and 1.4× the mean turns of
+    # sf0.1 (~7M turns, ~1.4k kernel-CPU-seconds) so the 32-CPU level is
+    # still compute-dominated — at sf0.1 scale the 32-CPU core is ~25s and
+    # fixed per-stage orchestration overhead alone caps strong-scaling
+    # efficiency at ~0.64. Both levels run THIS SAME input (the north-rule
+    # requirement).
+    "scaling": (2_000, 3_500, 24_000, 19_000),
 }
 
 
@@ -195,15 +196,23 @@ def run_bench() -> dict:
 
     # the sandbox's page-fault cost oscillates (measured 100× swings minutes
     # apart), so single-shot stage timings are noise-dominated; run the whole
-    # stage set twice and keep the per-stage minimum (standard estimator)
+    # stage set twice and keep the per-stage minimum (standard estimator),
+    # with a third pass when the two rounds disagree wildly (slow-phase
+    # insurance — the driver only runs this file once per round)
     pipes = headline_pipelines(sf_dir)
     times: dict[str, float] = {}
-    for _run in range(2):
+    round_totals = []
+    for _run in range(3):
+        total_this = 0.0
         for name, fn in pipes.items():
             t0 = time.time()
             fn()
             dt = round(time.time() - t0, 3)
+            total_this += dt
             times[name] = min(times.get(name, dt), dt)
+        round_totals.append(total_this)
+        if _run == 1 and max(round_totals) / max(min(round_totals), 1e-9) < 1.4:
+            break
     total = round(sum(times.values()), 3)
     core = times["pack_series"] + times["rollup_tiers"] + times["profiles"]
     out = {

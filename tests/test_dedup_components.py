@@ -1,0 +1,73 @@
+"""Connected components over near-dup pairs: distributed min-label
+propagation vs a local union-find, plus the driver-catalog entry."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_dup_components_matches_union_find(ray_session):
+    import ray
+
+    from tsmp_ray.stages.dedup import dup_components
+
+    rng = np.random.default_rng(4)
+    # chains + stars + isolated pairs, ids deliberately shuffled
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21),
+             (30, 40), (40, 50), (50, 60), (60, 70), (5, 99)]
+    rng.shuffle(pairs)
+    tbl = pa.table({
+        "doc_id": pa.array([min(p) for p in pairs], pa.int64()),
+        "dup_id": pa.array([max(p) for p in pairs], pa.int64()),
+    })
+    got = dup_components(ray.data.from_arrow(tbl)).to_pandas()
+    want = _uf_components([tuple(p) for p in pairs])
+    got_map = dict(zip(got["doc_id"], got["component"]))
+    assert got_map == want
+    # long chain 30-40-50-60-70 collapses to min 30 (multi-round propagation)
+    assert got_map[70] == 30
+
+
+def test_multimodal_audio_and_frames(ray_session):
+    """Audio framing + video frame-sampling plumbing (fake decoders)."""
+    import ray
+
+    from tsmp_ray.stages.multimodal import (
+        AudioFeatures, SampleFrames, synthetic_media,
+    )
+
+    ds = ray.data.from_arrow(synthetic_media(48, seed=3))
+    audio = ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": True},
+                           batch_format="pyarrow", batch_size=8,
+                           concurrency=(1, 2)).to_pandas()
+    assert len(audio) > 0
+    assert (audio["n_frames"] > 0).all()
+    assert all(len(r) == n for r, n in zip(audio["rms"], audio["n_frames"]))
+
+    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": True},
+                            batch_format="pyarrow", batch_size=8,
+                            concurrency=(1, 2)).to_pandas()
+    assert len(frames) > 0
+    assert (frames["frame_idx"] % 4 == 0).all()
+
+    # real decode is declared-unimplemented, not silently wrong
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": False},
+                       batch_format="pyarrow").materialize()

@@ -332,6 +332,23 @@ def annotation_sql(w: int) -> str:
             .replace("{W}", str(w)))
 
 
+# connected components over the verified minhash near-dup pairs: recursive
+# transitive closure, component id = min reachable doc_id — the SQL ground
+# truth for the distributed min-label propagation in dedup.dup_components
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_SQL}),
+edges AS (
+  SELECT doc_id AS a, dup_id AS b FROM pairs
+  UNION SELECT dup_id, doc_id FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, r.b FROM edges e JOIN reach r ON e.b = r.a
+)
+SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a
+"""
+
 # exact all-pairs cosine ≥ 0.4 (rounded to 6 dp on both sides, same as KNN_SQL)
 EMBED_DEDUP_SQL = """
 WITH dims AS (SELECT unnest(generate_series(1,
@@ -506,6 +523,12 @@ def q_minhash_dedup(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
     return dd.minhash_lsh_dedup(ds, threshold=0.7)
+
+
+def q_dedup_components(sf_dir: str):
+    """Duplicate-cluster assignment: connected components over the verified
+    MinHash near-dup pairs (distributed min-label propagation)."""
+    return dd.dup_components(q_minhash_dedup(sf_dir))
 
 
 def q_simhash_dedup(sf_dir: str):
@@ -815,6 +838,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "minhash_dedup": q_minhash_dedup,
+    "dedup_components": q_dedup_components,
     "simhash_dedup": q_simhash_dedup,
     "embedding_dedup": q_embedding_dedup,
     "embedding_dedup_lsh": q_embedding_dedup_lsh,
@@ -856,6 +880,7 @@ ORACLES = {
     "retention_1m": retention_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_dedup": MINHASH_SQL,
+    "dedup_components": DEDUP_COMPONENTS_SQL,
     "embedding_dedup": EMBED_DEDUP_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "knn_topk": KNN_SQL,

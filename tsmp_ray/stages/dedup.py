@@ -390,6 +390,66 @@ def simhash_dedup(ds, max_hamming: int = 3):
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------- components
+
+
+def dup_components(pairs_ds, max_rounds: int = 16):
+    """Connected components over duplicate PAIRS: distributed min-label
+    propagation (each round: scatter labels across edges, ``groupby(node)``
+    min-fold) until fixpoint. Near-dup clusters have tiny diameter, so this
+    converges in a few rounds; every round shuffles only the pair set (≪ the
+    corpus — the standard scalable shape). Returns (doc_id, component) where
+    component = min doc_id reachable; SQL oracle = recursive transitive
+    closure (see queries.DEDUP_COMPONENTS_SQL)."""
+    import ray
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch["doc_id"].to_numpy().astype(np.int64)
+        b = batch["dup_id"].to_numpy().astype(np.int64)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b])),
+            "peer": pa.array(np.concatenate([b, a])),
+        })
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def scatter(batch: pa.Table, labels_ref) -> pa.Table:
+        lab = ray.get(labels_ref)
+        node = batch["node"].to_numpy()
+        peer = batch["peer"].to_numpy()
+        return pa.table({
+            "node": pa.array(node),
+            "cand": pa.array(np.array([lab[p] for p in peer], dtype=np.int64)),
+        })
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": [g["node"].iloc[0]],
+                             "component": [int(g["cand"].min())]})
+
+    # init: label = own id (plus self-edge so isolated endpoints keep labels)
+    labels: dict[int, int] = {}
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        for n in b["node"].to_numpy():
+            labels[int(n)] = min(labels.get(int(n), int(n)), int(n))
+    for _ in range(max_rounds):
+        lref = ray.put(labels)
+        folded = (edges.map_batches(scatter, fn_kwargs={"labels_ref": lref},
+                                    batch_format="pyarrow")
+                  .groupby("node").map_groups(fold, batch_format="pandas"))
+        new = dict(labels)
+        for b in folded.iter_batches(batch_format="pyarrow"):
+            for n, c in zip(b["node"].to_numpy(), b["component"].to_numpy()):
+                new[int(n)] = min(new[int(n)], int(c))
+        if new == labels:
+            break
+        labels = new
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(labels), pa.int64()),
+        "component": pa.array([labels[k] for k in sorted(labels)], pa.int64()),
+    })
+    return ray.data.from_arrow(tbl)
+
+
 # ------------------------------------------------------------------ embeddings
 
 

@@ -117,6 +117,50 @@ class DecodeImage:
         )
 
 
+class AudioFeatures:
+    """Audio stage: binary payload -> framed waveform features (RMS + zero
+    crossings per frame). Real decode is a stub (no soundfile/ffmpeg here);
+    ``fake=True`` synthesizes a deterministic waveform from the payload so
+    framing/feature plumbing is real and tested."""
+
+    def __init__(self, frame: int = 512, fake: bool = False):
+        self.frame = frame
+        self.fake = fake
+
+    def _decode(self, payload: bytes, sr: int) -> np.ndarray:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile/ffmpeg, not present in this"
+                " container; construct with fake=True for the stub")
+        rng = np.random.default_rng(zlib.crc32(payload))
+        n = max(len(payload) * 4, self.frame)
+        return rng.standard_normal(n).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rms, zc, nfr = [], [], [], []
+        for i in range(batch.num_rows):
+            if batch["kind"][i].as_py() != "audio":
+                continue
+            x = self._decode(batch["payload"][i].as_py(),
+                             batch["sample_rate"][i].as_py())
+            n_frames = len(x) // self.frame
+            f = x[: n_frames * self.frame].reshape(n_frames, self.frame)
+            ids.append(batch["media_id"][i].as_py())
+            rms.append(np.sqrt((f * f).mean(axis=1)).astype(np.float64))
+            zc.append((np.diff(np.signbit(f), axis=1) != 0).sum(axis=1)
+                      .astype(np.float64))
+            nfr.append(n_frames)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_frames": pa.array(nfr, pa.int64()),
+                "rms": pa.array(rms if rms else [], pa.list_(pa.float64())),
+                "zero_crossings": pa.array(zc if zc else [],
+                                           pa.list_(pa.float64())),
+            }
+        )
+
+
 class SampleFrames:
     """Video stage: sample every k-th frame index and emit one row per sampled
     frame (flat_map-shaped output from map_batches)."""
