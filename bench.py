@@ -202,7 +202,8 @@ def run_bench() -> dict:
     pipes = headline_pipelines(sf_dir)
     times: dict[str, float] = {}
     round_totals = []
-    for _run in range(3):
+    max_passes = int(os.environ.get("GRAFT_BENCH_PASSES", "3"))
+    for _run in range(max_passes):
         total_this = 0.0
         for name, fn in pipes.items():
             t0 = time.time()
@@ -243,8 +244,11 @@ def run_scaling() -> dict:
     hi_n = int(os.environ.get("SCALE_HI", "32"))
 
     def run(ncpu: int) -> dict:
+        # single pass per invocation: the pair below interleaves levels so
+        # both see the same phase of the sandbox's oscillating fault cost
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_SHAPE=os.environ.get("SCALE_SHAPE", "scaling"))
+                   GRAFT_BENCH_SHAPE=os.environ.get("SCALE_SHAPE", "scaling"),
+                   GRAFT_BENCH_PASSES="1")
         last_err = ""
         for _attempt in range(2):  # one retry on transient Ray failures
             out = subprocess.run([sys.executable, os.path.abspath(__file__)],
@@ -257,10 +261,14 @@ def run_scaling() -> dict:
 
     core = lambda r: (r["queries"]["pack_series"] + r["queries"]["rollup_tiers"]
                       + r["queries"]["profiles"])
-    # each bench invocation already reports min-of-2 per stage, so one
-    # invocation per level suffices; hi first warms the input cache
-    hi = run(hi_n)
+    # interleave the levels (hi, lo, hi, lo) and keep the per-level minimum:
+    # the sandbox's fault cost oscillates over minutes, so back-to-back
+    # same-level runs would let one level land entirely in a slow phase and
+    # corrupt the ratio; alternation exposes both levels to the same phases
+    hi = run(hi_n)  # also warms the generated-input cache
     lo = run(lo_n)
+    hi = min(hi, run(hi_n), key=core)
+    lo = min(lo, run(lo_n), key=core)
     eff = (core(lo) / core(hi)) / (hi_n / lo_n)
     return {
         "cpus": [lo_n, hi_n],
