@@ -116,24 +116,40 @@ def _fold_group(batch: pa.Table, width: int | None = None,
     """Vectorized final fold of ONE (conv_id, signal) group's partials across
     all its buckets (one output row per bucket). Grouping only on
     (conv_id, signal) keeps the number of Python group calls = #convs × 3
-    instead of #buckets. Optional fused gap-fill (saves a second shuffle)."""
-    df = batch.to_pandas()
-    agg = df.groupby("bucket_ts", sort=True).agg(
-        n=("n", "sum"), sum_v=("sum_v", "sum"), min_v=("min_v", "min"),
-        max_v=("max_v", "max"), sumsq=("sumsq", "sum"),
-    )
-    firsts = (df.sort_values("first_ts", kind="stable")
-                .groupby("bucket_ts", sort=True)[["first_ts", "first_v"]].first())
-    lasts = (df.sort_values("last_ts", kind="stable")
-               .groupby("bucket_ts", sort=True)[["last_ts", "last_v"]].last())
-    out = agg.join(firsts).join(lasts).reset_index()
-    out.insert(0, "conv_id", df["conv_id"].iloc[0])
-    out.insert(1, "signal", df["signal"].iloc[0])
-    out["mean_v"] = out["sum_v"] / out["n"]
-    out["gap_filled"] = False
-    out = out[["conv_id", "signal", "bucket_ts", "n", "sum_v", "min_v",
-               "max_v", "sumsq", "first_ts", "first_v", "last_ts", "last_v",
-               "mean_v", "gap_filled"]]
+    instead of #buckets; inside, pure numpy ``reduceat`` segments (the pandas
+    groupby this replaced cost ~3-5 ms/group × thousands of groups).
+    Sums are order-safe: partial values are exact-integral floats (module
+    doc), so any fold order matches the SQL oracle bitwise.
+    Optional fused gap-fill (saves a second shuffle)."""
+    col = {c: batch[c].to_numpy() for c in
+           ("bucket_ts", "n", "sum_v", "min_v", "max_v", "sumsq",
+            "first_ts", "first_v", "last_ts", "last_v")}
+    order = np.argsort(col["bucket_ts"], kind="stable")
+    b = col["bucket_ts"][order]
+    starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
+    ends = np.concatenate([starts[1:], [len(b)]])
+    # firsts: row with min first_ts per bucket (stable ties) = segment head
+    # after a (bucket, first_ts) lexsort; lasts: max last_ts = segment tail
+    o1 = np.lexsort((col["first_ts"], col["bucket_ts"]))
+    o2 = np.lexsort((col["last_ts"], col["bucket_ts"]))
+    n = np.add.reduceat(col["n"][order], starts)
+    sum_v = np.add.reduceat(col["sum_v"][order], starts)
+    out = pd.DataFrame({
+        "conv_id": batch["conv_id"][0].as_py(),
+        "signal": batch["signal"][0].as_py(),
+        "bucket_ts": b[starts],
+        "n": n,
+        "sum_v": sum_v,
+        "min_v": np.minimum.reduceat(col["min_v"][order], starts),
+        "max_v": np.maximum.reduceat(col["max_v"][order], starts),
+        "sumsq": np.add.reduceat(col["sumsq"][order], starts),
+        "first_ts": col["first_ts"][o1][starts],
+        "first_v": col["first_v"][o1][starts],
+        "last_ts": col["last_ts"][o2][ends - 1],
+        "last_v": col["last_v"][o2][ends - 1],
+        "mean_v": sum_v / n,
+        "gap_filled": False,
+    })
     if width is not None:
         out = _fill_df(out, width, max_gap)
     return pa.Table.from_pandas(out, preserve_index=False)
