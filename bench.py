@@ -90,6 +90,29 @@ def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
     return path, pq.read_metadata(path).num_rows
 
 
+def _fault_probe_mb_s() -> float:
+    """First-touch speed of a fresh 200 MB mmap — the sandbox host oscillates
+    between ~4 GB/s and ~5 MB/s phases (minutes-long, external to us)."""
+    import numpy as np
+
+    t0 = time.time()
+    x = np.empty(25_000_000)
+    x.fill(1.0)
+    return 200.0 / max(time.time() - t0, 1e-9)
+
+
+def wait_out_slow_phase(max_wait_sec: int = 480) -> float:
+    """If the host is in a slow page-fault phase, wait (bounded) for it to
+    lift before timing anything — a slow phase inflates every wall-clock
+    number 3-10× regardless of engine quality. Returns the last probe."""
+    deadline = time.time() + max_wait_sec
+    speed = _fault_probe_mb_s()
+    while speed < 100.0 and time.time() < deadline:
+        time.sleep(45)
+        speed = _fault_probe_mb_s()
+    return speed
+
+
 def prewarm_workers(ncpu: int) -> None:
     """Untimed: start + warm one worker process per CPU slot. This sandbox's
     page faults are ~100× slow, so each fresh worker pays seconds of
@@ -187,6 +210,7 @@ def run_bench() -> dict:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _path, n_turns = ensure_bench_transcripts(sf_dir)  # untimed generation
 
+    probe = wait_out_slow_phase()  # untimed, bounded
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
@@ -225,6 +249,7 @@ def run_bench() -> dict:
         "num_cpus": ncpu,
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / max(core, 1e-9), 1),
+        "host_fault_probe_mb_s": round(probe, 1),  # phase context for the run
     }
     ray.shutdown()
     return out
