@@ -494,8 +494,7 @@ def q_doc_quality(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return ds.map_batches(text_mod.QualityScorer, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    return ds.map_batches(text_mod.quality_batch, batch_format="pyarrow")
 
 
 def q_lang_id(sf_dir: str):
@@ -503,8 +502,7 @@ def q_lang_id(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang"])
-    return ds.map_batches(text_mod.LangId, batch_format="pyarrow",
-                          concurrency=(1, 4)) \
+    return ds.map_batches(text_mod.lang_id_batch, batch_format="pyarrow") \
         .select_columns(["doc_id", "lang", "lang_pred"])
 
 

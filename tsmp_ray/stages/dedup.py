@@ -93,6 +93,18 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _as_table(t) -> pa.Table | None:
+    """Dataset blocks may be Arrow or pandas (pandas after a ``map_groups``
+    stage), and Ray's groupby can emit SCHEMA-LESS empty blocks for empty
+    sort partitions; reduce tasks that read block refs normalize to Arrow
+    and must skip the ``None`` (empty/schema-less) case."""
+    if isinstance(t, pd.DataFrame):
+        if not len(t.columns):
+            return None
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    return t if t.num_columns else None
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
     return np.unpackbits(x.astype(np.uint64).view(np.uint8)).reshape(len(x), 8 * 8).sum(axis=1)
@@ -285,29 +297,54 @@ _PAIR_JACCARD_SCHEMA = pa.schema([
 
 
 def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
-    """Distributed exact verification of candidate pairs: the texts of the
-    candidate ids (ONLY) are broadcast once via ``ray.put``; each pair batch
-    verifies with exact string-shingle jaccard."""
+    """Distributed exact verification of candidate pairs: the candidate-id
+    set and the id→text lookup are built by OBJECT-STORE reduce tasks over
+    the candidate/filtered blocks — neither ids nor texts ever pass through
+    the driver (round-2's driver dict is gone); the lookup ref is read
+    zero-copy-ish from plasma by each verify task. The lookup is bounded by
+    the near-dup candidate count, never the corpus size (at extreme dup
+    rates the upgrade is a salted hash-join of pairs against texts)."""
     import pyarrow.compute as pc
     import ray
 
-    ids: set[int] = set()
-    for b in cand.select_columns(["doc_id", "dup_id"]).iter_batches(
-            batch_format="pyarrow"):
-        ids.update(b["doc_id"].to_pylist())
-        ids.update(b["dup_id"].to_pylist())
-    if not ids:
+    cand = cand.materialize()
+    if cand.count() == 0:
         return ray.data.from_arrow(_PAIR_JACCARD_SCHEMA.empty_table())
+    cand_blocks = [br for bu in cand.iter_internal_ref_bundles()
+                   for br in bu.block_refs]
 
-    id_arr = pa.array(sorted(ids), pa.int64())
-    texts: dict[int, str] = {}
-    filtered = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=id_arr)),
-        batch_format="pyarrow")
-    for b in filtered.select_columns(["doc_id", "text"]).iter_batches(
-            batch_format="pyarrow"):
-        texts.update(zip(b["doc_id"].to_pylist(), b["text"].to_pylist()))
-    tref = ray.put(texts)
+    @ray.remote
+    def _id_set(*tbls) -> pa.Array:
+        s: set[int] = set()
+        for t in tbls:
+            t = _as_table(t)
+            if t is None:
+                continue
+            s.update(t["doc_id"].to_pylist())
+            s.update(t["dup_id"].to_pylist())
+        return pa.array(sorted(s), pa.int64())
+
+    ids_ref = _id_set.remote(*cand_blocks)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        id_arr = ray.get(ids_ref)
+        return batch.filter(pc.is_in(batch["doc_id"], value_set=id_arr))
+
+    filtered = (ds.select_columns(["doc_id", "text"])
+                .map_batches(filt, batch_format="pyarrow").materialize())
+
+    @ray.remote
+    def _text_lookup(*tbls) -> dict[int, str]:
+        d: dict[int, str] = {}
+        for t in tbls:
+            t = _as_table(t)
+            if t is None:
+                continue
+            d.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+        return d
+
+    tref = _text_lookup.remote(*[br for bu in filtered.iter_internal_ref_bundles()
+                                 for br in bu.block_refs])
 
     def verify(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -393,61 +430,158 @@ def simhash_dedup(ds, max_hamming: int = 3):
 # ------------------------------------------------------------- components
 
 
+_COMP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+
+
+def _star_round(edges_ds, large: bool):
+    """One large-star / small-star step over an undirected edge Dataset
+    ``(a, b)`` with ``a < b`` (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", PODS'14). Fan both directions out as
+    ``(center, nbr)`` rows, salt by ``hash(center) % _N_PARTS`` so every
+    center's neighborhood lands in one partition, then ONE vectorized pandas
+    call per partition (groupby-transform min — never a per-node Python
+    call):
+
+    - large-star(u): m = min(Γ(u) ∪ {u}); emit (m, v) for v ∈ Γ(u), v > u
+    - small-star(u): over N≤ = {v ∈ Γ(u): v ≤ u}: m = min(N≤ ∪ {u});
+      emit (m, v) for v ∈ N≤ ∪ {u}, v ≠ m
+    """
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        center = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        part = (_hash64(center.astype(np.uint64)) % _N_PARTS).astype(np.int64)
+        return pa.table({"center": pa.array(center), "nbr": pa.array(nbr),
+                         "part": pa.array(part)})
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        center = g["center"].to_numpy()
+        nbr = g["nbr"].to_numpy()
+        if large:
+            m = np.minimum(
+                g.groupby("center")["nbr"].transform("min").to_numpy(), center)
+            keep = nbr > center
+            a, b = m[keep], nbr[keep]
+        else:
+            le = g[g["nbr"] <= g["center"]]
+            gm = le.groupby("center")["nbr"].min()
+            centers = gm.index.to_numpy()
+            mins = np.minimum(gm.to_numpy(), centers)
+            row_m = le["center"].map(pd.Series(mins, index=centers)).to_numpy()
+            a = np.concatenate([row_m, mins])          # (m, v) for v ∈ N≤ …
+            b = np.concatenate([le["nbr"].to_numpy(), centers])  # … ∪ {center}
+        a = np.asarray(a, dtype=np.int64)
+        b = np.asarray(b, dtype=np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        keep = lo != hi
+        return (pd.DataFrame({"a": lo[keep], "b": hi[keep]})
+                .drop_duplicates(ignore_index=True))
+
+    return (edges_ds.map_batches(expand, batch_format="pyarrow")
+            .groupby("part").map_groups(star, batch_format="pandas"))
+
+
+def _distinct_edges(edges_ds):
+    """Salted distinct on (a, b): fixed ``_N_PARTS`` fanout, vectorized
+    drop_duplicates per partition."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch["a"].to_numpy().astype(np.uint64)
+                    ^ _hash64(batch["b"].to_numpy().astype(np.uint64)))
+        return batch.append_column(
+            "epart", pa.array((h % _N_PARTS).astype(np.int64)))
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"], ignore_index=True) \
+                .drop(columns=["epart"])
+
+    return (edges_ds.map_batches(add_part, batch_format="pyarrow")
+            .groupby("epart").map_groups(uniq, batch_format="pandas"))
+
+
+def _edge_checksum(edges_ds) -> tuple[int, int]:
+    """(count, order-independent checksum) of a distinct edge set — the cheap
+    fixpoint test (two tiny aggregates, no driver materialization)."""
+
+    def hsum(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch["a"].to_numpy().astype(np.uint64) * np.uint64(31)
+                    ^ _hash64(batch["b"].to_numpy().astype(np.uint64)))
+        # mod a 30-bit prime: int64 partial sums stay exact to ~8e9 edges
+        return pa.table({"h": pa.array((h % np.uint64(1_073_741_789))
+                                       .astype(np.int64))})
+
+    hds = edges_ds.map_batches(hsum, batch_format="pyarrow")
+    n = hds.count()
+    return n, int(hds.sum("h") or 0)
+
+
 def dup_components(pairs_ds, max_rounds: int = 16):
-    """Connected components over duplicate PAIRS: distributed min-label
-    propagation (each round: scatter labels across edges, ``groupby(node)``
-    min-fold) until fixpoint. Near-dup clusters have tiny diameter, so this
-    converges in a few rounds; every round shuffles only the pair set (≪ the
-    corpus — the standard scalable shape). Returns (doc_id, component) where
-    component = min doc_id reachable; SQL oracle = recursive transitive
-    closure (see queries.DEDUP_COMPONENTS_SQL)."""
+    """Connected components over duplicate PAIRS: alternating large-star /
+    small-star contraction (Kiveris et al., PODS'14) until the edge set is a
+    star forest rooted at each component's min doc_id. Fully distributed:
+    labels never materialize on the driver, every step is a fixed-fanout
+    salted shuffle with one VECTORIZED pandas call per partition (the round-2
+    per-node ``map_groups`` fold and driver label dict are gone), and
+    convergence is O(log² n) rounds — no small-diameter assumption. Returns
+    (doc_id, component) where component = min doc_id reachable; SQL oracle =
+    recursive transitive closure (queries.DEDUP_COMPONENTS_SQL)."""
+    import logging
+
     import ray
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = batch["doc_id"].to_numpy().astype(np.int64)
         b = batch["dup_id"].to_numpy().astype(np.int64)
+        keep = a != b
         return pa.table({
-            "node": pa.array(np.concatenate([a, b])),
-            "peer": pa.array(np.concatenate([b, a])),
+            "a": pa.array(np.minimum(a, b)[keep]),
+            "b": pa.array(np.maximum(a, b)[keep]),
         })
 
-    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow").materialize()
+    edges = _distinct_edges(
+        pairs_ds.map_batches(to_edges, batch_format="pyarrow")).materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(_COMP_SCHEMA.empty_table())
 
-    def scatter(batch: pa.Table, labels_ref) -> pa.Table:
-        lab = ray.get(labels_ref)
-        node = batch["node"].to_numpy()
-        peer = batch["peer"].to_numpy()
-        return pa.table({
-            "node": pa.array(node),
-            "cand": pa.array(np.array([lab[p] for p in peer], dtype=np.int64)),
-        })
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": [g["node"].iloc[0]],
-                             "component": [int(g["cand"].min())]})
-
-    # init: label = own id (plus self-edge so isolated endpoints keep labels)
-    labels: dict[int, int] = {}
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        for n in b["node"].to_numpy():
-            labels[int(n)] = min(labels.get(int(n), int(n)), int(n))
+    sig = _edge_checksum(edges)
+    converged = False
     for _ in range(max_rounds):
-        lref = ray.put(labels)
-        folded = (edges.map_batches(scatter, fn_kwargs={"labels_ref": lref},
-                                    batch_format="pyarrow")
-                  .groupby("node").map_groups(fold, batch_format="pandas"))
-        new = dict(labels)
-        for b in folded.iter_batches(batch_format="pyarrow"):
-            for n, c in zip(b["node"].to_numpy(), b["component"].to_numpy()):
-                new[int(n)] = min(new[int(n)], int(c))
-        if new == labels:
+        edges = _distinct_edges(
+            _star_round(_star_round(edges, large=True), large=False)
+        ).materialize()
+        new_sig = _edge_checksum(edges)
+        if new_sig == sig:
+            converged = True
             break
-        labels = new
-    tbl = pa.table({
-        "doc_id": pa.array(sorted(labels), pa.int64()),
-        "component": pa.array([labels[k] for k in sorted(labels)], pa.int64()),
-    })
-    return ray.data.from_arrow(tbl)
+        sig = new_sig
+    if not converged:
+        logging.getLogger(__name__).warning(
+            "dup_components: edge set not converged after %d rounds — "
+            "components may be split", max_rounds)
+
+    # star forest: every edge is (root, node); root's own label is itself
+    def labels(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([b, a])),
+            "component": pa.array(np.concatenate([a, a])),
+        }, schema=_COMP_SCHEMA)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        h = _hash64(batch["doc_id"].to_numpy().astype(np.uint64))
+        return batch.append_column(
+            "part", pa.array((h % _N_PARTS).astype(np.int64)))
+
+    def fold_min(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.groupby("doc_id", as_index=False)["component"].min()
+                .astype(np.int64))
+
+    return (edges.map_batches(labels, batch_format="pyarrow")
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(fold_min, batch_format="pandas"))
 
 
 # ------------------------------------------------------------------ embeddings
@@ -466,41 +600,67 @@ def _stack_norm(col) -> np.ndarray:
 
 
 def embedding_dedup(ds_embeddings, *, threshold: float = 0.4,
-                    round_dp: int = 6):
-    """EXACT cosine near-dup pair finder — the brute-force baseline: the
-    normalized matrix is broadcast once via ``ray.put`` (the knn pattern);
-    each batch does one matmul against it and emits its (i<j) pairs with
-    rounded cosine ≥ threshold. O(n²) in vector count by design; at 100 TB
-    the broadcast side becomes tiled block-pair tasks, and
-    ``embedding_dedup_lsh`` below is the sub-quadratic scale path.
+                    round_dp: int = 6, block_rows: int = 2048):
+    """EXACT cosine near-dup pair finder — the brute-force baseline, TILED:
+    the Dataset's own blocks are normalized once each (tasks keyed by block
+    ref, results staying in the object store), then every block PAIR (i ≤ j)
+    becomes one matmul task reading both sides zero-copy from plasma — the
+    same block-ref plan as ``profile_stage._sharded_profiles_ds``. Nothing
+    ever materializes on the driver and no task holds more than two blocks,
+    so memory is O(block_rows²) per task at any corpus size. Compute is
+    O(n²) by design (the exact baseline); ``embedding_dedup_lsh`` below is
+    the sub-quadratic scale path.
 
     Rounding to ``round_dp`` BEFORE thresholding makes the result bit-match a
     SQL oracle computing round(dot/(na·nb), dp) (summation-order ulp noise is
     absorbed, as proven by the knn_topk oracle)."""
     import ray
 
-    pdf = ds_embeddings.select_columns(["vec_id", "embedding"]).to_pandas()
-    full = _stack_norm(pa.array(list(pdf["embedding"])))
-    full_ids = pdf["vec_id"].to_numpy().astype(np.int64)
-    ref = ray.put((full, full_ids))
+    mat = ds_embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    n = mat.count()
+    if n == 0:
+        return ray.data.from_arrow(_EMB_PAIR_SCHEMA.empty_table())
+    want_blocks = max(1, -(-n // block_rows))
+    if mat.num_blocks() > 4 * want_blocks or mat.num_blocks() < want_blocks:
+        mat = mat.repartition(want_blocks).materialize()
 
-    def pair_finder(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    @ray.remote
+    def _norm_block(tbl):
+        tbl = _as_table(tbl)
+        if tbl is None or tbl.num_rows == 0:
+            return np.empty(0, dtype=np.int64), np.empty((0, 1))
+        return (tbl["vec_id"].to_numpy().astype(np.int64),
+                _stack_norm(tbl["embedding"]))
+
+    @ray.remote
+    def _pair_block(na, nb, same: bool) -> pa.Table:
+        ia, ma = na
+        ib, mb = nb
+        if not len(ia) or not len(ib):
             return _EMB_PAIR_SCHEMA.empty_table()
-        m, ids = ray.get(ref)  # broadcast read (plasma, zero-copy numpy)
-        bm = _stack_norm(batch["embedding"])
-        bids = batch["vec_id"].to_numpy().astype(np.int64)
-        cos = np.round(bm @ m.T, round_dp)
-        keep = (cos >= threshold) & (bids[:, None] < ids[None, :])
-        a, b = np.nonzero(keep)
+        cos = np.round(ma @ mb.T, round_dp)
+        mask = cos >= threshold
+        # each unordered id pair must come out exactly once as (lo, hi):
+        # within one block both orientations are in the matrix (keep lo<hi);
+        # across two distinct blocks each pair appears once (order by id)
+        mask &= (ia[:, None] < ib[None, :]) if same \
+            else (ia[:, None] != ib[None, :])
+        r, c = np.nonzero(mask)
+        lo = np.minimum(ia[r], ib[c])
+        hi = np.maximum(ia[r], ib[c])
+        order = np.lexsort((hi, lo))
         return pa.table({
-            "vec_id": pa.array(bids[a]),
-            "dup_id": pa.array(ids[b]),
-            "cosine": pa.array(cos[a, b]),
+            "vec_id": pa.array(lo[order]),
+            "dup_id": pa.array(hi[order]),
+            "cosine": pa.array(cos[r, c][order]),
         }, schema=_EMB_PAIR_SCHEMA)
 
-    return ds_embeddings.map_batches(pair_finder, batch_format="pyarrow",
-                                     batch_size=1024)
+    blocks = [br for bundle in mat.iter_internal_ref_bundles()
+              for br in bundle.block_refs]
+    normed = [_norm_block.remote(b) for b in blocks]
+    pair_refs = [_pair_block.remote(normed[i], normed[j], i == j)
+                 for i in range(len(normed)) for j in range(i, len(normed))]
+    return ray.data.from_arrow_refs(pair_refs)
 
 
 def embedding_dedup_lsh(ds_embeddings, *, threshold: float = 0.95,

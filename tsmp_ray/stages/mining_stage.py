@@ -275,19 +275,20 @@ def mp_exact_op(conv_id, batch, r, *, w: int, zone: int,
     z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
     p = len(win)
     # pairwise squared distances between z-rows (vectorized, oracle order in
-    # the k-sum is absorbed by round_dp)
-    d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2) if p <= 2048 else None
-    if d2 is None:
-        # blocked evaluation for long convs (bounded memory)
-        d2 = np.empty((p, p))
-        for lo in range(0, p, 512):
-            blk = z[lo : lo + 512]
-            d2[lo : lo + 512] = ((blk[:, None, :] - z[None, :, :]) ** 2).sum(axis=2)
-    band = np.abs(np.arange(p)[:, None] - np.arange(p)[None, :]) <= zone
-    d2[band] = np.inf
-    d2[~ok, :] = np.inf
-    d2[:, ~ok] = np.inf
-    mp = np.sqrt(d2.min(axis=1))
+    # the k-sum is absorbed by round_dp), evaluated in ROW BLOCKS with a
+    # per-block min-reduce: memory is O(block × p), never O(p²)
+    col_idx = np.arange(p)
+    mp2 = np.full(p, np.inf)
+    blk_rows = p if p <= 2048 else 512
+    for lo in range(0, p, blk_rows):
+        hi = min(lo + blk_rows, p)
+        d2 = ((z[lo:hi, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+        band = np.abs(np.arange(lo, hi)[:, None] - col_idx[None, :]) <= zone
+        d2[band] = np.inf
+        d2[:, ~ok] = np.inf
+        mp2[lo:hi] = d2.min(axis=1)
+    mp2[~ok] = np.inf
+    mp = np.sqrt(mp2)
     keep = ok & np.isfinite(mp)
     idx = np.flatnonzero(keep)
     return pa.table({

@@ -204,9 +204,19 @@ def _sharded_profiles_ds(big_ds, cfg: EngineConfig, pool: int = 8):
     w, ez = cfg.window_size, cfg.ez
 
     @ray.remote(num_cpus=0)
-    def _block_meta(tbl: pa.Table):
+    def _block_meta(tbl):
         # num_cpus=0: the driver BLOCKS on this tiny planning read — it must
-        # never queue behind full CPU slots (deadlock in small sessions)
+        # never queue behind full CPU slots (deadlock in small sessions).
+        # Blocks may be pandas and may be SCHEMA-LESS empties (Ray groupby
+        # emits those for empty sort partitions) — skip them.
+        import pandas as pd
+
+        if isinstance(tbl, pd.DataFrame):
+            if "conv_id" not in tbl.columns:
+                return [], []
+            return tbl["conv_id"].tolist(), tbl["n_turns"].tolist()
+        if "conv_id" not in tbl.column_names:
+            return [], []
         return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
 
     @ray.remote

@@ -49,6 +49,33 @@ class LangId:
         return batch.append_column("lang_pred", langs)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
+def _lang_id() -> "LangId":
+    return LangId()
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`LangId`: the instance (compiled regexes,
+    frozen profiles) is built once per WORKER PROCESS via ``lru_cache`` —
+    tasks reuse warm Ray workers, so this is the actor-``__init__`` pattern
+    without capping the stage at a fixed actor count (the round-2
+    ``concurrency=(1, 4)`` ceiling is gone; the task pool uses every slot)."""
+    return _lang_id()(batch)
+
+
+@lru_cache(maxsize=1)
+def _quality_scorer() -> "QualityScorer":
+    return QualityScorer()
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Task-pool form of :class:`QualityScorer` (see ``lang_id_batch``)."""
+    return _quality_scorer()(batch)
+
+
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 # BPE-ish sub-word pieces: runs of letters (split at case change), digits, or
 # single punctuation — a deterministic stand-in for a real tokenizer
