@@ -163,3 +163,40 @@ def test_dist_profile_paa_approximates():
     assert len(d) == len(x) // 4 - w // 4 + 1
     assert abs(int(np.argmin(d)) - 50 // 4) <= 1  # coarse localization
     assert qt is not None
+
+
+def test_dist_profile_gap_alignment_pinned_vs_brute():
+    """Pins the DOCUMENTED deviation from dist_profile.R:131-135: our gap
+    mode aligns the post-gap sub-query at p + gap_end (a pattern with a
+    don't-care gap), i.e. d[p] == ED(q1, x[p:]) + ED(q2, x[p+s2:]) exactly —
+    not the reference's prepend-shift. Differential check vs a brute-force
+    z-norm ED for every p so the alignment can't silently drift."""
+    from tsmp_ray.kernels.mass import dist_profile
+
+    def zed(q, s):  # brute z-normalized ED
+        q = (q - q.mean()) / q.std()
+        s = (s - s.mean()) / s.std()
+        return float(np.sqrt(((q - s) ** 2).sum()))
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(200).cumsum()
+    w = 20
+    q = x[60 : 60 + w].copy()
+    q[8:12] = np.nan
+    d, _ = dist_profile(x, q, w=w)
+    q1, s2 = q[:8], 12
+    q2 = q[s2:w]
+    p_out = len(x) - w + 1
+    for p in range(0, p_out - 1, 7):
+        want = zed(q1, x[p : p + len(q1)]) + zed(q2, x[p + s2 : p + s2 + len(q2)])
+        assert abs(d[p] - want) < 2e-5, p
+
+
+def test_weighted_requires_weight():
+    import pytest
+
+    from tsmp_ray.kernels.mass import dist_profile
+
+    x = np.arange(64, dtype=np.float64)
+    with pytest.raises(ValueError, match="weight"):
+        dist_profile(x, x[:16], method="weighted")

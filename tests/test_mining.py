@@ -224,3 +224,22 @@ def test_floss_cac_final_per_value_parity_with_batch():
         cac = floss_cac_online(prof.pi.copy(), w, len(prof.pi), online=False)
         expect.extend(cac[-nappend:].tolist())
     np.testing.assert_allclose(got, np.asarray(expect), atol=1e-12)
+
+
+def test_valmod_pruned_equals_exact_sweep():
+    """lb=True heap pruning must be IDENTICAL to the exact lb=False sweep
+    (our deliberate deviation from valmod.R:438-470 recomputes uncertified
+    queries exactly) — including on inputs with NaNs and flat runs."""
+    rng = np.random.default_rng(42)
+    clean = np.cumsum(rng.standard_normal(400))
+    dirty = clean.copy()
+    dirty[120:126] = np.nan
+    dirty[200:240] = 3.25  # flat run → skip windows
+    for x in (clean, dirty):
+        a = valmod(x, 12, 24, lb=True, heap_size=10)
+        b = valmod(x, 12, 24, lb=False)
+        np.testing.assert_allclose(a["mp"], b["mp"], atol=2e-5)
+        np.testing.assert_allclose(a["mp_raw"], b["mp_raw"], atol=2e-5)
+        assert (a["w"] == b["w"]).all()
+        np.testing.assert_allclose(a["evolution_motif"], b["evolution_motif"],
+                                   atol=2e-5)

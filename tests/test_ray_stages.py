@@ -193,3 +193,39 @@ def test_salted_path_equals_inline(ray_session):
     np.testing.assert_allclose(a["mp"].to_numpy(), b["mp"].to_numpy(), atol=2e-5)
     np.testing.assert_allclose(a["rmp"].to_numpy(), b["rmp"].to_numpy(), atol=2e-5)
     np.testing.assert_allclose(a["lmp"].to_numpy(), b["lmp"].to_numpy(), atol=2e-5)
+
+
+def test_sharded_mstomp_equals_single_task(ray_session):
+    """compute_mstomp's index-range shard path (mstomp_par analog,
+    /root/reference/R/mstomp-par.R:110-127) == the one-task-per-conv path."""
+    import ray
+
+    from tsmp_ray.stages.mining_stage import compute_mstomp
+
+    tbl = synthetic_transcripts(n_convs=3, seed=9, mean_turns=60,
+                                long_conv_turns=900)
+    packed = pack_series(ray.data.from_arrow(tbl))
+    inline = compute_mstomp(
+        packed, EngineConfig(window_size=8, salt_turn_threshold=10_000)
+    ).to_pandas()
+    sharded = compute_mstomp(
+        packed, EngineConfig(window_size=8, salt_turn_threshold=500,
+                             profile_concurrency=3)
+    ).to_pandas()
+    keys = ["conv_id", "k_dim", "window_idx"]
+    a = sorted_df(inline, keys)
+    b = sorted_df(sharded, keys)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ["mp", "lmp", "rmp"]:
+        np.testing.assert_allclose(a[col].to_numpy(), b[col].to_numpy(),
+                                   atol=2e-5)
+    # indices may legitimately differ only at numeric ties (FFT-seeded vs
+    # recurrence-propagated QT rounding flips argmin between equidistant
+    # candidates) — so any index mismatch must sit on a matching distance,
+    # and mismatches must be rare
+    for icol, dcol in (("pi", "mp"), ("lpi", "lmp"), ("rpi", "rmp")):
+        ia, ib = a[icol].to_numpy(), b[icol].to_numpy()
+        diff = ia != ib
+        assert diff.mean() < 0.02, (icol, int(diff.sum()))
+        np.testing.assert_allclose(a[dcol].to_numpy()[diff],
+                                   b[dcol].to_numpy()[diff], atol=2e-5)

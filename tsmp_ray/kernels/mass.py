@@ -302,6 +302,10 @@ def dist_profile(
         return d * np.sqrt(paa_factor), (qt * paa_factor if qt is not None else None)
 
     if method == "weighted":
+        if not isinstance(data, MassPreW) and weight is None:
+            raise ValueError(
+                "dist_profile(method='weighted') requires a weight vector "
+                "or a precomputed MassPreW")
         pre = (data if isinstance(data, MassPreW)
                else mass_pre_w(data, w, weight))
         return mass_weighted(pre, query_window)

@@ -49,8 +49,17 @@ def mstomp(
     ez: float = DEFAULT_EZ,
     must_dim: list[int] | None = None,
     exc_dim: list[int] | None = None,
+    index_range: tuple[int, int] | None = None,
 ) -> MultiMatrixProfile:
-    """``data``: (n × d) float64 matrix (1-D input is treated as n×1)."""
+    """``data``: (n × d) float64 matrix (1-D input is treated as n×1).
+
+    ``index_range=(lo, hi)`` computes only query indices [lo, hi) — the
+    reference's ``mstomp_par`` index-range partitioning
+    (/root/reference/R/mstomp-par.R:110-127): the QT recurrence is re-seeded
+    at ``lo`` by one FFT sliding-dot per dimension, then recurs as usual.
+    Each query's distance row spans ALL of [0, p), so mp/pi/lmp/rmp for the
+    range are final — shards concatenate along the index axis with no merge
+    (asserted sharded == full in tests)."""
     data = np.asarray(data, dtype=np.float64)
     if data.ndim == 1:
         data = data[:, None]
@@ -67,8 +76,13 @@ def mstomp(
     n_must = len(must)
     zone = exclusion_zone(w, ez)
 
+    lo, hi = index_range if index_range is not None else (0, p)
+    if not (0 <= lo < hi <= p):
+        raise ValueError(f"bad index_range {index_range} for profile length {p}")
+    p_out = hi - lo
+
     # per-dim precomputation
-    xs, mus, sigs, skips, qt0s = [], [], [], [], []
+    xs, mus, sigs, skips, qt0s, pres = [], [], [], [], [], []
     for j in keep:
         xc, skip = clean_series(data[:, j], w)
         mu, _, ssq = mov_stats(xc, w)
@@ -78,6 +92,7 @@ def mstomp(
         mus.append(mu)
         sigs.append(sig)
         skips.append(skip)
+        pres.append(pre)
         qt0s.append(_qt_fft(pre, xc[:w]))
     X = np.stack(xs)          # (dk × n)
     MU = np.stack(mus)        # (dk × p)
@@ -89,34 +104,41 @@ def mstomp(
     for m_dim in must:
         must_mask[keep.index(m_dim)] = True
 
-    mp = np.full((n_keep, p), np.inf)
-    pi = np.full((n_keep, p), -1, dtype=np.int64)
-    lmp = np.full((n_keep, p), np.inf)
-    lpi = np.full((n_keep, p), -1, dtype=np.int64)
-    rmp = np.full((n_keep, p), np.inf)
-    rpi = np.full((n_keep, p), -1, dtype=np.int64)
+    mp = np.full((n_keep, p_out), np.inf)
+    pi = np.full((n_keep, p_out), -1, dtype=np.int64)
+    lmp = np.full((n_keep, p_out), np.inf)
+    lpi = np.full((n_keep, p_out), -1, dtype=np.int64)
+    rmp = np.full((n_keep, p_out), np.inf)
+    rpi = np.full((n_keep, p_out), -1, dtype=np.int64)
 
     def _directional(avg_row: np.ndarray, k: int, i: int) -> None:
-        """Fill mp/lmp/rmp row k at query index i from the k-dim averaged
-        distance row (squared units)."""
+        """Fill mp/lmp/rmp row k at query index i (global; stored at column
+        i - lo) from the k-dim averaged distance row (squared units)."""
+        c = i - lo
         j = int(np.argmin(avg_row))
         if np.isfinite(avg_row[j]):
-            mp[k, i] = avg_row[j]
-            pi[k, i] = j
+            mp[k, c] = avg_row[j]
+            pi[k, c] = j
         if i > 0:
             jl = int(np.argmin(avg_row[:i]))
             if np.isfinite(avg_row[jl]):
-                lmp[k, i] = avg_row[jl]
-                lpi[k, i] = jl
+                lmp[k, c] = avg_row[jl]
+                lpi[k, c] = jl
         if i < p - 1:
             jr = i + 1 + int(np.argmin(avg_row[i + 1 :]))
             if np.isfinite(avg_row[jr]):
-                rmp[k, i] = avg_row[jr]
-                rpi[k, i] = jr
+                rmp[k, c] = avg_row[jr]
+                rpi[k, c] = jr
 
-    qt = QT_first.copy()  # (dk × p): row i of each dim's QT matrix
-    for i in range(p):
-        if i > 0:
+    if lo == 0:
+        qt = QT_first.copy()  # (dk × p): row lo of each dim's QT matrix
+    else:
+        # re-seed the recurrence at lo: one FFT sliding-dot per dim
+        # (mstomp-par.R partitions re-seed the same way via mass_pre)
+        qt = np.stack([_qt_fft(pres[j], X[j, lo : lo + w])
+                       for j in range(n_keep)])
+    for i in range(lo, hi):
+        if i > lo:
             new = (qt[:, :-1]
                    - X[:, : p - 1] * X[:, i - 1 : i]
                    + X[:, w:n] * X[:, i + w - 1 : i + w])

@@ -680,12 +680,13 @@ def q_valmod(sf_dir: str):
 
 
 def q_mstomp(sf_dir: str):
-    """Multidimensional profile over the 3 signals of each conversation,
-    distributed per conv (map_batches tasks)."""
-    from ..stages.mining_stage import mstomp_op, per_conv_stage
+    """Multidimensional profile over the 3 signals of each conversation:
+    one task per conv, with convs above the salting threshold fanned out as
+    index-range shards (the reference's mstomp_par plan)."""
+    from ..stages.mining_stage import compute_mstomp
 
     packed = pack_series(transcripts_from_events(sf_dir))
-    return per_conv_stage(packed, mstomp_op, {"w": CFG.window_size})
+    return compute_mstomp(packed, CFG)
 
 
 def q_stompi_streaming(sf_dir: str):

@@ -162,17 +162,12 @@ _MSTOMP_SCHEMA = pa.schema([
 ])
 
 
-def mstomp_op(conv_id, batch, r, *, w: int,
-              signals: tuple[str, ...] = SIGNAL_COLUMNS):
-    if conv_id is None:
-        return _MSTOMP_SCHEMA.empty_table()
-    mats = [_series(batch, r, s) for s in signals]
-    if len(mats[0]) < 2 * w:
-        return None
-    res = mstomp(np.stack(mats, axis=1), w)
+def _mstomp_table(conv_id: str, res, offset: int = 0) -> pa.Table:
+    """Long-format rows from a (possibly index-range) MultiMatrixProfile;
+    ``offset`` = the range's global start (window_idx stays global)."""
     d, p = res.mp.shape
     k_dim = np.repeat(np.arange(1, d + 1, dtype=np.int64), p)
-    idx = np.tile(np.arange(p, dtype=np.int64), d)
+    idx = np.tile(np.arange(offset, offset + p, dtype=np.int64), d)
     return pa.table({
         "conv_id": pa.DictionaryArray.from_arrays(
             pa.array(np.zeros(d * p, dtype=np.int32)),
@@ -186,6 +181,87 @@ def mstomp_op(conv_id, batch, r, *, w: int,
         "rmp": pa.array(res.rmp.reshape(-1)),
         "rpi": pa.array(res.rpi.reshape(-1).astype(np.int64)),
     }, schema=_MSTOMP_SCHEMA)
+
+
+def mstomp_op(conv_id, batch, r, *, w: int,
+              signals: tuple[str, ...] = SIGNAL_COLUMNS):
+    if conv_id is None:
+        return _MSTOMP_SCHEMA.empty_table()
+    mats = [_series(batch, r, s) for s in signals]
+    if len(mats[0]) < 2 * w:
+        return None
+    return _mstomp_table(conv_id, mstomp(np.stack(mats, axis=1), w))
+
+
+def compute_mstomp(ds_packed, cfg: EngineConfig,
+                   signals: tuple[str, ...] = SIGNAL_COLUMNS):
+    """Multivariate profiles for EVERY conversation, salting the long tail:
+    convs ≤ ``cfg.salt_turn_threshold`` run one task each (``mstomp_op``);
+    longer ones fan out as INDEX-RANGE shard tasks over the mstomp QT
+    recurrence — the reference's own mstomp_par partitioning
+    (/root/reference/R/mstomp-par.R:110-127) — each shard re-seeded by one
+    FFT per dim and emitting its final rows directly (no merge: every query
+    index is computed exactly once). Same physical plan as
+    ``profile_stage._sharded_profiles_ds``: block refs to tasks, results
+    stay in the object store, ``from_arrow_refs`` at the end."""
+    import ray
+
+    thr = cfg.salt_turn_threshold
+    pool = cfg.profile_concurrency or max(
+        2, int(ray.cluster_resources().get("CPU", 8)))
+    ds_packed = ds_packed.materialize()
+    small = ds_packed.filter(expr=f"n_turns <= {thr}")
+    out_small = per_conv_stage(small, mstomp_op,
+                               {"w": cfg.window_size, "signals": signals})
+    big = ds_packed.filter(expr=f"n_turns > {thr}").materialize()
+    out_big = _sharded_mstomp_ds(big, cfg, signals, pool)
+    if out_big is None:
+        return out_small
+    return out_small.union(out_big)
+
+
+def _sharded_mstomp_ds(big_ds, cfg: EngineConfig,
+                       signals: tuple[str, ...], pool: int):
+    import pandas as pd
+    import ray
+
+    w = cfg.window_size
+
+    @ray.remote(num_cpus=0)
+    def _block_meta(tbl):
+        # num_cpus=0: driver blocks on this planning read (see profile_stage)
+        if isinstance(tbl, pd.DataFrame):
+            if "conv_id" not in tbl.columns:
+                return [], []
+            return tbl["conv_id"].tolist(), tbl["n_turns"].tolist()
+        if "conv_id" not in tbl.column_names:
+            return [], []
+        return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
+
+    @ray.remote
+    def _shard(tbl: pa.Table, row: int, lo: int, hi: int, conv_id: str):
+        mats = [_series(tbl, row, s) for s in signals]
+        res = mstomp(np.stack(mats, axis=1), w, index_range=(lo, hi))
+        return _mstomp_table(conv_id, res, offset=lo)
+
+    table_refs = []
+    for bundle in big_ds.iter_internal_ref_bundles():
+        for block_ref in bundle.block_refs:
+            conv_ids, n_turns = ray.get(_block_meta.remote(block_ref))
+            for row, (cid, n) in enumerate(zip(conv_ids, n_turns)):
+                if n < 2 * w:
+                    continue
+                p = int(n) - w + 1
+                # equal-width index ranges: every query row costs O(p)
+                # (full distance row), so the index axis IS the cost axis
+                n_shards = min(max(2, pool), p)
+                edges = np.linspace(0, p, n_shards + 1).astype(np.int64)
+                table_refs.extend(
+                    _shard.remote(block_ref, row, int(lo), int(hi), cid)
+                    for lo, hi in zip(edges[:-1], edges[1:]) if hi > lo)
+    if not table_refs:
+        return None
+    return ray.data.from_arrow_refs(table_refs)
 
 
 _STOMPI_SCHEMA = pa.schema([
