@@ -229,3 +229,76 @@ def test_sharded_mstomp_equals_single_task(ray_session):
         assert diff.mean() < 0.02, (icol, int(diff.sum()))
         np.testing.assert_allclose(a[dcol].to_numpy()[diff],
                                    b[dcol].to_numpy()[diff], atol=2e-5)
+
+
+def test_conv_pair_stage_pairs_and_values(ray_session):
+    """conv_pair_stage pairs c<2k> with c<2k+1> and the pair ops reproduce
+    the direct kernel calls."""
+    import ray
+
+    from tsmp_ray.kernels.mining import mpdist
+    from tsmp_ray.stages.mining_stage import (
+        abjoin_pair_op, conv_pair_stage, mpdist_pair_op,
+    )
+
+    tbl = synthetic_transcripts(n_convs=5, seed=4, mean_turns=80)
+    packed = pack_series(ray.data.from_arrow(tbl))
+    w = 8
+
+    out = conv_pair_stage(packed, mpdist_pair_op, {"w": w}).to_pandas()
+    # numeric suffixes 0..4 → pairs (0,1), (2,3); 4 has no partner
+    got_pairs = set(zip(out["conv_a"], out["conv_b"]))
+    from tsmp_ray.stages.mining_stage import _conv_num
+    df = tbl.to_pandas()
+    series = {}
+    for conv, g in df.sort_values(["conv_id", "turn_idx"]).groupby("conv_id"):
+        series[conv] = g["text"].str.len().to_numpy().astype(np.float64)
+    by_num = {_conv_num(c): c for c in series}
+    nums = sorted(by_num)
+    want_pairs = {(by_num[a], by_num[a + 1]) for a in nums[::2]
+                  if a + 1 in by_num
+                  and len(series[by_num[a]]) >= 2 * w
+                  and len(series[by_num[a + 1]]) >= 2 * w}
+    assert got_pairs == want_pairs and len(got_pairs) >= 1
+    for _, r in out.iterrows():
+        want = mpdist(series[r["conv_a"]], series[r["conv_b"]], w)
+        assert abs(r["mpdist"] - want) < 1e-9
+
+    ab = conv_pair_stage(packed, abjoin_pair_op, {"w": w}).to_pandas()
+    assert set(ab["orientation"]) == {"ab", "ba"}
+    from tsmp_ray.kernels.mpx import mpx
+    one = ab[(ab["conv_a"] == sorted(got_pairs)[0][0])
+             & (ab["orientation"] == "ab")].sort_values("window_idx")
+    a_id, b_id = sorted(got_pairs)[0]
+    prof = mpx(series[a_id], w, query=series[b_id])
+    np.testing.assert_allclose(one["mp"].to_numpy(), prof.mp, atol=1e-9)
+
+
+def test_checked_ops_gate_production_kernels(ray_session):
+    """profile/distprof/stompi/abjoin _checked ops run green on real packed
+    data (the in-op assertion passes) and raise on a poisoned kernel."""
+    import ray
+
+    from tsmp_ray.stages.mining_stage import (
+        distprof_checked_op, per_conv_stage, profile_checked_op,
+        stompi_checked_op,
+    )
+
+    tbl = synthetic_transcripts(n_convs=4, seed=11, mean_turns=100)
+    packed = pack_series(ray.data.from_arrow(tbl))
+    kw = {"w": 8, "zone": 4}
+    prof = per_conv_stage(packed, profile_checked_op, kw).to_pandas()
+    dp = per_conv_stage(packed, distprof_checked_op, {"w": 8}).to_pandas()
+    st = per_conv_stage(packed, stompi_checked_op, kw).to_pandas()
+    assert len(prof) > 0 and len(dp) > 0 and len(st) > 0
+    # stompi emits the same oracle-order values as profile_checked (on the
+    # convs long enough for both: stompi needs ≥ 4w, profile ≥ 2w)
+    prof_c = prof[prof["conv_id"].isin(set(st["conv_id"]))]
+    pd.testing.assert_frame_equal(
+        prof_c.sort_values(["conv_id", "window_idx"]).reset_index(drop=True),
+        st.sort_values(["conv_id", "window_idx"]).reset_index(drop=True))
+
+    # poisoned tolerance must raise (the gate is real)
+    with pytest.raises(Exception):
+        per_conv_stage(packed, profile_checked_op,
+                       dict(kw, atol=1e-14)).to_pandas()

@@ -200,13 +200,11 @@ SELECT doc_id, n_chars, punct_ratio, stop_ratio, mean_word_len, upper_ratio,
 FROM r
 """
 
-def mp_exact_sql(w: int, zone: int) -> str:
-    """Matrix profile in pure SQL: per-window population mean/sd, z-normalized
-    window rows, pairwise Σ(zi-zj)² over a (conv, k)-equijoin with the
-    |i-j|>zone band filter, min per i, sqrt, round 6 — the same arithmetic as
-    ``mp_exact_op`` (sd==0 windows dropped both sides). Bounded to the 10
-    smallest conv_ids so the O(p²·w) join stays cheap at sf0.01."""
-    return _T + f"""
+def _windows_ctes(w: int, min_n: int) -> str:
+    """Shared CTE chain: 10 smallest convs → per-window population mean/sd →
+    valid windows (sd > 0, conv length ≥ ``min_n``) → z-normalized window
+    rows keyed (conv_id, i, k)."""
+    return f"""
 , sig AS ({SIGNALS_SQL.replace(_T, "")})
 , sel AS (SELECT DISTINCT conv_id FROM transcripts ORDER BY conv_id LIMIT 10)
 , pos AS (
@@ -224,13 +222,23 @@ stats AS (
   WINDOW win AS (PARTITION BY conv_id ORDER BY posn
                  ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
 ),
-st AS (SELECT * FROM stats WHERE i <= n - {w} AND n >= {2 * w} AND sd > 0),
+st AS (SELECT * FROM stats WHERE i <= n - {w} AND n >= {min_n} AND sd > 0),
 zt AS (
   SELECT p.conv_id, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
   FROM pos p JOIN st ON p.conv_id = st.conv_id
                      AND p.posn BETWEEN st.i AND st.i + {w - 1}
-),
-d AS (
+)"""
+
+
+def mp_exact_sql(w: int, zone: int, min_n: int | None = None) -> str:
+    """Matrix profile in pure SQL: per-window population mean/sd, z-normalized
+    window rows, pairwise Σ(zi-zj)² over a (conv, k)-equijoin with the
+    |i-j|>zone band filter, min per i, sqrt, round 6 — the same arithmetic as
+    ``mp_exact_op`` (sd==0 windows dropped both sides). Bounded to the 10
+    smallest conv_ids so the O(p²·w) join stays cheap at sf0.01. ``min_n``
+    raises the conv-length floor (stompi_checked needs ≥ 4w)."""
+    return _T + _windows_ctes(w, min_n or 2 * w) + f"""
+, d AS (
   SELECT a.conv_id, a.i AS i, b.i AS j,
          sum((a.z - b.z) * (a.z - b.z)) AS d2
   FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
@@ -239,6 +247,160 @@ d AS (
 )
 SELECT conv_id, i AS window_idx, round(sqrt(min(d2)), 6) AS mp
 FROM d GROUP BY 1, 2
+"""
+
+
+def dist_profile_checked_sql(w: int) -> str:
+    """Distance profile of each conv's window 0 (MASS semantics: z-norm ED to
+    every window incl. itself, sd==0 windows dropped) in pure SQL — gates
+    ``distprof_checked_op``'s MASS v3 kernel."""
+    return _T + _windows_ctes(w, 2 * w) + """
+SELECT a.conv_id, a.i AS window_idx,
+       round(sqrt(sum((a.z - b.z) * (a.z - b.z))), 6) AS d
+FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k AND b.i = 0
+GROUP BY 1, 2
+"""
+
+
+def motifs_checked_sql(w: int, zone: int) -> str:
+    """Top motif pair + top discord per conv in pure SQL: pair distances
+    rounded to 6dp BEFORE selection, ties broken by (i, j) / smallest i —
+    the deterministic ordering ``motifs_checked_op`` mirrors."""
+    return _T + _windows_ctes(w, 2 * w) + f"""
+, d AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j,
+         round(sqrt(sum((a.z - b.z) * (a.z - b.z))), 6) AS dist
+  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
+                      AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3
+),
+m AS (
+  SELECT conv_id, i AS motif_a, j AS motif_b, dist AS motif_dist,
+         row_number() OVER (PARTITION BY conv_id ORDER BY dist, i, j) AS rn
+  FROM d WHERE i < j
+),
+prof AS (SELECT conv_id, i, min(dist) AS mp FROM d GROUP BY 1, 2),
+disc AS (
+  SELECT conv_id, i AS discord, mp AS discord_dist,
+         row_number() OVER (PARTITION BY conv_id ORDER BY mp DESC, i) AS rn
+  FROM prof
+)
+SELECT m.conv_id, m.motif_a, m.motif_b, m.motif_dist,
+       disc.discord, disc.discord_dist
+FROM m JOIN disc ON m.conv_id = disc.conv_id
+WHERE m.rn = 1 AND disc.rn = 1
+"""
+
+
+def mstomp_checked_sql(w: int, zone: int) -> str:
+    """Multidimensional (3-signal) matrix profile in pure SQL: per-signal
+    z-distance², k-of-3 average of the k smallest dims per (i, j) via
+    min / (sum − max)/2 / sum/3 algebra, min per i, sqrt, round 6 — gates
+    ``mstomp_checked_op``'s production mstomp kernel. Query windows
+    degenerate in any dim are dropped (HAVING count = 3); candidates
+    degenerate in one dim compete through the remaining dims (cnt-aware
+    CASE)."""
+    return _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, sel AS (SELECT DISTINCT conv_id FROM transcripts ORDER BY conv_id LIMIT 10)
+, long AS (
+  SELECT s.conv_id, s.turn_idx, 'text_len' AS signal, s.text_len AS v
+  FROM sig s JOIN sel USING (conv_id)
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, 'tool_call', s.tool_call
+  FROM sig s JOIN sel USING (conv_id)
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, 'ts_delta', s.ts_delta
+  FROM sig s JOIN sel USING (conv_id)
+),
+pos AS (
+  SELECT conv_id, signal,
+         row_number() OVER (PARTITION BY conv_id, signal
+                            ORDER BY turn_idx) - 1 AS posn,
+         v, count(*) OVER (PARTITION BY conv_id, signal) AS n
+  FROM long
+),
+stats AS (
+  SELECT conv_id, signal, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd, n
+  FROM pos
+  WINDOW win AS (PARTITION BY conv_id, signal ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+st AS (SELECT * FROM stats WHERE i <= n - {w} AND n >= {2 * w} AND sd > 0),
+zt AS (
+  SELECT p.conv_id, p.signal, st.i, p.posn - st.i AS k,
+         (p.v - st.mu) / st.sd AS z
+  FROM pos p JOIN st ON p.conv_id = st.conv_id AND p.signal = st.signal
+                     AND p.posn BETWEEN st.i AND st.i + {w - 1}
+),
+d AS (
+  SELECT a.conv_id, a.signal, a.i, b.i AS j,
+         sum((a.z - b.z) * (a.z - b.z)) AS d2
+  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.signal = b.signal
+                      AND a.k = b.k AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3, 4
+),
+qok AS (SELECT conv_id, i FROM st GROUP BY conv_id, i HAVING count(*) = 3),
+agg AS (
+  SELECT d.conv_id, d.i, d.j, count(*) AS cnt,
+         sum(d2) AS s, min(d2) AS mn, max(d2) AS mx
+  FROM d JOIN qok ON d.conv_id = qok.conv_id AND d.i = qok.i
+  GROUP BY 1, 2, 3
+),
+kd AS (
+  SELECT conv_id, i, 1 AS k_dim, mn AS dk FROM agg
+  UNION ALL
+  SELECT conv_id, i, 2,
+         CASE WHEN cnt = 3 THEN (s - mx) / 2 ELSE s / 2 END
+  FROM agg WHERE cnt >= 2
+  UNION ALL
+  SELECT conv_id, i, 3, s / 3 FROM agg WHERE cnt = 3
+)
+SELECT conv_id, k_dim, i AS window_idx, round(sqrt(min(dk)), 6) AS mp
+FROM kd GROUP BY 1, 2, 3
+"""
+
+
+def ab_join_checked_sql(w: int) -> str:
+    """AB similarity join in pure SQL: conversations with numeric id < 10
+    pair as (2k, 2k+1); cross z-distance between the two convs' windows (no
+    exclusion zone), min per left window, both directions (direction encoded
+    by (conv_a, conv_b)) — gates ``abjoin_checked_pair_op``'s mpx query-mode
+    kernel."""
+    return _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, pos AS (
+  SELECT s.conv_id,
+         CAST(substr(s.conv_id, 2) AS BIGINT) AS num,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1
+           AS posn,
+         s.text_len AS v,
+         count(*) OVER (PARTITION BY s.conv_id) AS n
+  FROM sig s WHERE CAST(substr(s.conv_id, 2) AS BIGINT) < 10
+),
+stats AS (
+  SELECT conv_id, num, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd, n
+  FROM pos
+  WINDOW win AS (PARTITION BY conv_id ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+st AS (SELECT * FROM stats WHERE i <= n - {w} AND n >= {2 * w} AND sd > 0),
+zt AS (
+  SELECT p.conv_id, p.num, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
+  FROM pos p JOIN st ON p.conv_id = st.conv_id
+                     AND p.posn BETWEEN st.i AND st.i + {w - 1}
+),
+d AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, a.i AS i, b.i AS j,
+         sum((a.z - b.z) * (a.z - b.z)) AS d2
+  FROM zt a JOIN zt b ON a.num // 2 = b.num // 2 AND a.num <> b.num
+                      AND a.k = b.k
+  GROUP BY 1, 2, 3, 4
+)
+SELECT conv_a, conv_b, i AS window_idx, round(sqrt(min(d2)), 6) AS mp
+FROM d GROUP BY 1, 2, 3
 """
 
 
@@ -625,58 +787,31 @@ def q_chains(sf_dir: str):
 
 
 def q_mpdist(sf_dir: str):
-    """Pairwise MPdist between the first 6 conversations' text_len series."""
-    from ..kernels.mining import mpdist
+    """Pairwise MPdist between consecutive conversations — one task per pair
+    via ``conv_pair_stage`` (no driver pull; pairing key derived from the
+    numeric conv-id suffix inside each batch)."""
+    from ..stages.mining_stage import conv_pair_stage, mpdist_pair_op
 
     packed = pack_series(transcripts_from_events(sf_dir))
-    packed = packed.sort("conv_id").limit(6).to_pandas()  # bounded driver pull
-    rows = []
-    for i in range(len(packed)):
-        for j in range(i + 1, len(packed)):
-            a = np.asarray(packed.iloc[i]["text_len"], dtype=np.float64)
-            b = np.asarray(packed.iloc[j]["text_len"], dtype=np.float64)
-            rows.append({
-                "conv_a": packed.iloc[i]["conv_id"],
-                "conv_b": packed.iloc[j]["conv_id"],
-                "mpdist": mpdist(a, b, CFG.window_size),
-            })
-    return pd.DataFrame(rows)
-
-
-def _longest_conv(sf_dir: str) -> pd.Series:
-    """Bounded driver pull: only the single longest packed conversation."""
-    packed = pack_series(transcripts_from_events(sf_dir))
-    return (packed.sort(["n_turns", "conv_id"], descending=[True, False])
-            .limit(1).to_pandas().iloc[0])
+    return conv_pair_stage(packed, mpdist_pair_op, {"w": CFG.window_size})
 
 
 def q_pmp(sf_dir: str):
-    """Pan-matrix-profile over a window sweep for the longest conversation."""
-    from ..kernels.mining import pmp
+    """Pan-matrix-profile window sweep for EVERY conversation, distributed
+    per conv (was: longest conv only on the driver)."""
+    from ..stages.mining_stage import per_conv_stage, pmp_op
 
-    r = _longest_conv(sf_dir)
-    x = np.asarray(r["text_len"], dtype=np.float64)
-    res = pmp(x, windows=[6, 8, 10, 12])
-    rows = []
-    for w in sorted(res["pmp"]):
-        mp = res["pmp"][w]
-        for i, v in enumerate(mp):
-            rows.append({"conv_id": r["conv_id"], "w": w, "window_idx": i,
-                         "mp": v, "pi": int(res["pmpi"][w][i])})
-    return pd.DataFrame(rows)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, pmp_op, {"windows": [6, 8, 10, 12]})
 
 
 def q_valmod(sf_dir: str):
-    from ..kernels.mining import valmod
+    """Variable-length motif sweep (heap-pruned VALMOD) for EVERY
+    conversation, distributed per conv."""
+    from ..stages.mining_stage import per_conv_stage, valmod_op
 
-    r = _longest_conv(sf_dir)
-    x = np.asarray(r["text_len"], dtype=np.float64)
-    res = valmod(x, 6, 12)
-    return pd.DataFrame({
-        "conv_id": r["conv_id"],
-        "window_idx": np.arange(len(res["mp"])),
-        "mp_norm": res["mp"], "best_w": res["w"], "pi": res["pi"],
-    })
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, valmod_op, {"wmin": 6, "wmax": 12})
 
 
 def q_mstomp(sf_dir: str):
@@ -720,6 +855,93 @@ def q_mp_exact(sf_dir: str):
         {"w": CFG.window_size, "zone": exclusion_zone(CFG.window_size, CFG.ez)})
 
 
+def q_profiles_checked(sf_dir: str):
+    """The PRODUCTION profile kernel (blocked/mpx auto-pick — exactly what
+    the flagship ``profiles`` query runs) tied to the SQL oracle on the same
+    10 convs as ``mp_exact``: the op asserts kernel == oracle-order exact
+    within 2e-5 per window (raising on drift) and emits the oracle-order
+    values, so the DuckDB hash compare gates the hot kernel itself."""
+    from ..stages.mining_stage import per_conv_stage, profile_checked_op
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, profile_checked_op,
+        {"w": CFG.window_size, "ez": CFG.ez,
+         "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
+def q_motifs_checked(sf_dir: str):
+    """find_motifs/find_discords tied to SQL: oracle-order top pair + top
+    discord (rounded-before-selection, deterministic tie-breaks) with the
+    production miners' distances asserted in-op (10 smallest convs)."""
+    from ..stages.mining_stage import motifs_checked_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, motifs_checked_op,
+        {"w": CFG.window_size,
+         "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
+def q_mstomp_checked(sf_dir: str):
+    """Production mstomp kernel tied to SQL: oracle-order k-of-3 averaged
+    z-distance profiles, asserted in-op (10 smallest convs)."""
+    from ..stages.mining_stage import mstomp_checked_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, mstomp_checked_op,
+        {"w": CFG.window_size,
+         "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
+def q_dist_profile_checked(sf_dir: str):
+    """MASS v3 tied to SQL: oracle-order z-distance of window 0 vs the MASS
+    kernel, asserted in-op, oracle-order values emitted (10 smallest
+    convs)."""
+    from ..stages.mining_stage import distprof_checked_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(sel, distprof_checked_op, {"w": CFG.window_size})
+
+
+def q_stompi_checked(sf_dir: str):
+    """Streaming stompi tied to SQL: 2/3 seed + 1/3 incremental appends must
+    equal the oracle-order batch profile (asserted in-op), which the
+    mp_exact SQL (min length 4w) recomputes."""
+    from ..stages.mining_stage import per_conv_stage, stompi_checked_op
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, stompi_checked_op,
+        {"w": CFG.window_size,
+         "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
+def q_ab_join_checked(sf_dir: str):
+    """AB-join kernel tied to SQL: consecutive pairs among numeric conv ids
+    < 10, mpx query-mode vs oracle-order cross distance asserted in-op."""
+    from ..stages.mining_stage import abjoin_checked_pair_op, conv_pair_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        from ..stages.mining_stage import _conv_num
+
+        num = np.array([_conv_num(s) for s in batch["conv_id"].to_pylist()],
+                       dtype=np.int64)
+        return batch.filter(pa.array(num < 10))
+
+    packed = packed.map_batches(flt, batch_format="pyarrow")
+    return conv_pair_stage(packed, abjoin_checked_pair_op,
+                           {"w": CFG.window_size})
+
+
 def q_dist_profile(sf_dir: str):
     """Per-conv MASS v3 + weighted distance profiles (dist_profile dispatcher
     coverage incl. mass_pre_w/mass_weighted), distributed per conv."""
@@ -730,20 +952,14 @@ def q_dist_profile(sf_dir: str):
 
 
 def q_snippets(sf_dir: str):
-    from ..kernels.mining import find_snippet
+    """Representative snippets for EVERY conversation with ≥64 turns,
+    distributed per conv (was: first 5 convs on the driver)."""
+    from ..stages.mining_stage import per_conv_stage, snippet_op
 
     packed = (pack_series(transcripts_from_events(sf_dir))
-              .filter(expr="n_turns >= 64")
-              .sort("conv_id").limit(5).to_pandas())  # bounded driver pull
-    rows = []
-    for _, r in packed.iterrows():
-        x = np.asarray(r["text_len"], dtype=np.float64)
-        res = find_snippet(x, s_size=16, n_snippets=2, w=8)
-        for rank, (idx, frac) in enumerate(zip(res["snippet_idx"],
-                                               res["snippet_frac"])):
-            rows.append({"conv_id": r["conv_id"], "rank": rank,
-                         "snippet_idx": idx, "fraction": frac})
-    return pd.DataFrame(rows)
+              .filter(expr="n_turns >= 64"))
+    return per_conv_stage(packed, snippet_op,
+                          {"s_size": 16, "n_snippets": 2, "w": 8})
 
 
 def q_multimodal(sf_dir: str):
@@ -766,22 +982,13 @@ def q_floss_streaming(sf_dir: str):
 
 
 def q_ab_join(sf_dir: str):
-    """AB similarity join between consecutive conversations' text_len series
-    (both orientations, no exclusion zone)."""
-    from ..kernels.mpx import mpx
+    """AB similarity join between consecutive conversation pairs, BOTH
+    orientations, one task per pair via ``conv_pair_stage`` (no driver
+    pull)."""
+    from ..stages.mining_stage import abjoin_pair_op, conv_pair_stage
 
-    packed = (pack_series(transcripts_from_events(sf_dir))
-              .sort("conv_id").limit(6).to_pandas())  # bounded driver pull
-    rows = []
-    for i in range(0, len(packed) - 1, 2):
-        a = np.asarray(packed.iloc[i]["text_len"], dtype=np.float64)
-        b = np.asarray(packed.iloc[i + 1]["text_len"], dtype=np.float64)
-        prof = mpx(a, CFG.window_size, query=b)
-        for j, v in enumerate(prof.mp):
-            rows.append({"conv_a": packed.iloc[i]["conv_id"],
-                         "conv_b": packed.iloc[i + 1]["conv_id"],
-                         "window_idx": j, "mp": v, "pi": int(prof.pi[j])})
-    return pd.DataFrame(rows)
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return conv_pair_stage(packed, abjoin_pair_op, {"w": CFG.window_size})
 
 
 def q_sdts(sf_dir: str):
@@ -808,18 +1015,14 @@ def q_sdts(sf_dir: str):
 
 
 def q_salient(sf_dir: str):
-    """MDL salient subsequences of the longest conversation's text_len."""
-    from ..kernels.salient import salient_subsequences
-    from ..kernels.mpx import mpx
+    """MDL salient subsequences for EVERY conversation, distributed per conv
+    (was: longest conv only on the driver)."""
+    from ..stages.mining_stage import per_conv_stage, salient_op
 
-    r = _longest_conv(sf_dir)
-    x = np.asarray(r["text_len"], dtype=np.float64)
-    prof = mpx(x, CFG.window_size)
-    sal = salient_subsequences(x, prof, n_bits=6, n_cand=8)
-    return pd.DataFrame({"conv_id": r["conv_id"],
-                         "rank": np.arange(len(sal["indexes"])),
-                         "index": sal["indexes"],
-                         "bit_size": sal["idx_bit_size"][: len(sal["indexes"])]})
+    packed = pack_series(transcripts_from_events(sf_dir))
+    return per_conv_stage(packed, salient_op,
+                          {"w": CFG.window_size, "ez": CFG.ez,
+                           "n_bits": 6, "n_cand": 8})
 
 
 QUERIES = {
@@ -848,6 +1051,12 @@ QUERIES = {
     "fluss_segments": q_fluss_segments,
     "chains": q_chains,
     "mp_exact": q_mp_exact,
+    "profiles_checked": q_profiles_checked,
+    "dist_profile_checked": q_dist_profile_checked,
+    "motifs_checked": q_motifs_checked,
+    "mstomp_checked": q_mstomp_checked,
+    "stompi_checked": q_stompi_checked,
+    "ab_join_checked": q_ab_join_checked,
     "dist_profile": q_dist_profile,
     "mpdist_pairs": q_mpdist,
     "pmp": q_pmp,
@@ -876,6 +1085,19 @@ ORACLES = {
     "annotation": annotation_sql(CFG.window_size),
     "mp_exact": mp_exact_sql(CFG.window_size,
                              exclusion_zone(CFG.window_size, CFG.ez)),
+    # same SQL, but the Ray side is the PRODUCTION kernel gated by an
+    # in-query equality assertion against the oracle-order arithmetic
+    "profiles_checked": mp_exact_sql(CFG.window_size,
+                                     exclusion_zone(CFG.window_size, CFG.ez)),
+    "dist_profile_checked": dist_profile_checked_sql(CFG.window_size),
+    "motifs_checked": motifs_checked_sql(
+        CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
+    "mstomp_checked": mstomp_checked_sql(
+        CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
+    "stompi_checked": mp_exact_sql(CFG.window_size,
+                                   exclusion_zone(CFG.window_size, CFG.ez),
+                                   min_n=4 * CFG.window_size),
+    "ab_join_checked": ab_join_checked_sql(CFG.window_size),
     "retention_1m": retention_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_dedup": MINHASH_SQL,

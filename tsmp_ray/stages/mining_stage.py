@@ -331,19 +331,11 @@ _MP_EXACT_SCHEMA = pa.schema([
 ])
 
 
-def mp_exact_op(conv_id, batch, r, *, w: int, zone: int,
-                signal: str = "text_len", round_dp: int = 6):
+def _oracle_order_mp(x: np.ndarray, w: int, zone: int):
     """Oracle-order matrix profile: per window, z-normalize with population
     mean/sd (windows with sd == 0 dropped on BOTH sides), distance =
     sqrt(min over |i-j|>zone of Σ_k (zi_k - zj_k)²) — the exact arithmetic a
-    SQL self-join oracle performs, so rounded values hash-match. This is the
-    oracle-friendly flagship-correctness query; the production kernels
-    (blocked/mpx) are validated against brute force in pytest."""
-    if conv_id is None:
-        return _MP_EXACT_SCHEMA.empty_table()
-    x = _series(batch, r, signal)
-    if len(x) < 2 * w:
-        return None
+    SQL self-join oracle performs. Returns (mp, ok-mask)."""
     win = np.lib.stride_tricks.sliding_window_view(x, w)
     mu = win.mean(axis=1)
     sd = win.std(axis=1)
@@ -364,7 +356,11 @@ def mp_exact_op(conv_id, batch, r, *, w: int, zone: int,
         d2[:, ~ok] = np.inf
         mp2[lo:hi] = d2.min(axis=1)
     mp2[~ok] = np.inf
-    mp = np.sqrt(mp2)
+    return np.sqrt(mp2), ok
+
+
+def _mp_exact_table(conv_id: str, mp: np.ndarray, ok: np.ndarray,
+                    round_dp: int) -> pa.Table:
     keep = ok & np.isfinite(mp)
     idx = np.flatnonzero(keep)
     return pa.table({
@@ -374,6 +370,49 @@ def mp_exact_op(conv_id, batch, r, *, w: int, zone: int,
         "window_idx": pa.array(idx.astype(np.int64)),
         "mp": pa.array(np.round(mp[idx], round_dp)),
     }, schema=_MP_EXACT_SCHEMA)
+
+
+def mp_exact_op(conv_id, batch, r, *, w: int, zone: int,
+                signal: str = "text_len", round_dp: int = 6):
+    """Oracle-order matrix profile (see ``_oracle_order_mp``) — the
+    oracle-friendly flagship-correctness query; rounded values hash-match a
+    SQL self-join computing the identical znorm-ED arithmetic."""
+    if conv_id is None:
+        return _MP_EXACT_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    mp, ok = _oracle_order_mp(x, w, zone)
+    return _mp_exact_table(conv_id, mp, ok, round_dp)
+
+
+def profile_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                       ez: float = DEFAULT_EZ,
+                       signal: str = "text_len", round_dp: int = 6,
+                       atol: float = 2e-5):
+    """PRODUCTION-kernel profile (blocked/mpx auto-pick — the same kernel the
+    flagship ``profiles`` query runs) tied to the SQL oracle: the op also
+    computes the oracle-order exact profile, ASSERTS the production kernel
+    agrees within ``atol`` at every comparable window (raising — failing the
+    driver's run — on any drift), then emits the oracle-order values so the
+    hash compare is immune to FFT last-ulp noise. This closes the gap where
+    only the oracle-order arithmetic (not the hot kernel) had a green SQL
+    row (round-2 verdict item 5)."""
+    if conv_id is None:
+        return _MP_EXACT_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    mp, ok = _oracle_order_mp(x, w, zone)
+    prod = _auto_profile(x, w, ez)
+    pm = prod.mp[: len(mp)]
+    both = ok & np.isfinite(mp) & np.isfinite(pm)
+    if not np.allclose(pm[both], mp[both], rtol=0.0, atol=atol):
+        worst = float(np.abs(pm[both] - mp[both]).max())
+        raise AssertionError(
+            f"production profile kernel deviates from oracle-order exact "
+            f"profile on conv {conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+    return _mp_exact_table(conv_id, mp, ok, round_dp)
 
 
 _ANNOT_SCHEMA = pa.schema([
@@ -402,3 +441,511 @@ def annotation_op(conv_id, batch, r, *, w: int, signal: str = "text_len",
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "av": pa.array(av),
     }, schema=_ANNOT_SCHEMA)
+
+
+# --------------------------------------------- distributed demo-bounded ops
+# Round-2 verdict item 6: the queries that used to pull a handful of convs to
+# the driver (pmp/valmod/salient/snippets/mpdist/ab_join) now fan out over
+# EVERY conversation via per_conv_stage / conv_pair_stage.
+
+
+_PMP_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("w", pa.int64()), ("window_idx", pa.int64()),
+    ("mp", pa.float64()), ("pi", pa.int64()),
+])
+
+
+def pmp_op(conv_id, batch, r, *, windows, signal: str = "text_len"):
+    """Pan-matrix-profile sweep per conversation
+    (/root/reference/R/pmp.R:166-211)."""
+    from ..kernels.mining import pmp
+
+    if conv_id is None:
+        return _PMP_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * max(windows):
+        return None
+    res = pmp(x, windows=windows)
+    ws, idxs, mps, pis = [], [], [], []
+    for w in sorted(res["pmp"]):
+        mp = res["pmp"][w]
+        ws.append(np.full(len(mp), w, dtype=np.int64))
+        idxs.append(np.arange(len(mp), dtype=np.int64))
+        mps.append(mp)
+        pis.append(res["pmpi"][w].astype(np.int64))
+    n = sum(len(a) for a in mps)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(n, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "w": pa.array(np.concatenate(ws)),
+        "window_idx": pa.array(np.concatenate(idxs)),
+        "mp": pa.array(np.concatenate(mps)),
+        "pi": pa.array(np.concatenate(pis)),
+    }, schema=_PMP_SCHEMA)
+
+
+_VALMOD_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()),
+    ("mp_norm", pa.float64()), ("best_w", pa.int64()), ("pi", pa.int64()),
+])
+
+
+def valmod_op(conv_id, batch, r, *, wmin: int, wmax: int,
+              signal: str = "text_len"):
+    """Variable-length motif sweep per conversation with the VALMOD heap
+    lower-bound pruning (/root/reference/R/valmod.R:52-470)."""
+    from ..kernels.mining import valmod
+
+    if conv_id is None:
+        return _VALMOD_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * wmax:
+        return None
+    res = valmod(x, wmin, wmax)
+    p = len(res["mp"])
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(p, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+        "mp_norm": pa.array(res["mp"]),
+        "best_w": pa.array(res["w"].astype(np.int64)),
+        "pi": pa.array(res["pi"].astype(np.int64)),
+    }, schema=_VALMOD_SCHEMA)
+
+
+_SALIENT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("rank", pa.int64()),
+    ("index", pa.int64()), ("bit_size", pa.int64()),
+])
+
+
+def salient_op(conv_id, batch, r, *, w: int, ez: float = DEFAULT_EZ,
+               n_bits: int = 6, n_cand: int = 8, signal: str = "text_len"):
+    """MDL salient subsequences per conversation
+    (/root/reference/R/salient.R)."""
+    from ..kernels.salient import salient_subsequences
+
+    if conv_id is None:
+        return _SALIENT_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    prof = _auto_profile(x, w, ez)
+    sal = salient_subsequences(x, prof, n_bits=n_bits, n_cand=n_cand)
+    k = len(sal["indexes"])
+    if not k:
+        return None
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(k, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "rank": pa.array(np.arange(k, dtype=np.int64)),
+        "index": pa.array(np.asarray(sal["indexes"], dtype=np.int64)),
+        "bit_size": pa.array(np.asarray(
+            sal["idx_bit_size"][:k], dtype=np.int64)),
+    }, schema=_SALIENT_SCHEMA)
+
+
+_SNIPPET_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("rank", pa.int64()),
+    ("snippet_idx", pa.int64()), ("fraction", pa.float64()),
+])
+
+
+def snippet_op(conv_id, batch, r, *, s_size: int, n_snippets: int = 2,
+               w: int = 8, signal: str = "text_len"):
+    """Representative snippets per conversation
+    (/root/reference/R/find-snippet.R:47-142)."""
+    from ..kernels.mining import find_snippet
+
+    if conv_id is None:
+        return _SNIPPET_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 4 * s_size:
+        return None
+    res = find_snippet(x, s_size=s_size, n_snippets=n_snippets, w=w)
+    k = len(res["snippet_idx"])
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(k, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "rank": pa.array(np.arange(k, dtype=np.int64)),
+        "snippet_idx": pa.array(np.asarray(res["snippet_idx"],
+                                           dtype=np.int64)),
+        "fraction": pa.array(np.asarray(res["snippet_frac"],
+                                        dtype=np.float64)),
+    }, schema=_SNIPPET_SCHEMA)
+
+
+# ------------------------------------------------------------- pair stage
+
+
+def _conv_num(s: str) -> int:
+    """Numeric suffix of a conv id ('c17' → 17, 'conv000042' → 42)."""
+    import re
+
+    m = re.search(r"(\d+)$", s)
+    return int(m.group(1)) if m else -1
+
+
+def conv_pair_stage(ds_packed, fn, fn_kwargs: dict | None = None):
+    """Fan out ``fn(id_a, xa, id_b, xb, **kw) -> pa.Table | None`` over
+    CONSECUTIVE conversation pairs: numeric-id 2k pairs with 2k+1. The
+    pairing key is derived from the numeric conv-id suffix INSIDE each batch
+    (no global rank/sort), then one ``groupby(pair_id)`` shuffle co-locates
+    each pair — the same conv-level key cardinality as ``per_conv_stage``,
+    so the one-Python-call-per-group cost is per PAIR, not per row. Odd
+    leftover ids (no partner) are dropped."""
+    kw = fn_kwargs or {}
+
+    def add_pair(batch: pa.Table) -> pa.Table:
+        num = np.array([_conv_num(s) for s in batch["conv_id"].to_pylist()],
+                       dtype=np.int64)
+        return batch.append_column("pair_id", pa.array(num // 2))
+
+    def run_pair(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return fn(None, None, None, None, **kw)
+        ids = g["conv_id"].to_pylist()
+        order = np.argsort([_conv_num(s) for s in ids])
+        a, b = int(order[0]), int(order[1])
+        sig = kw.get("signal", "text_len")
+        t = fn(ids[a], _series(g, a, sig), ids[b], _series(g, b, sig), **kw)
+        return t if t is not None else fn(None, None, None, None, **kw)
+
+    return (ds_packed.map_batches(add_pair, batch_format="pyarrow")
+            .groupby("pair_id").map_groups(run_pair, batch_format="pyarrow"))
+
+
+_MPDIST_SCHEMA = pa.schema([
+    ("conv_a", pa.string()), ("conv_b", pa.string()),
+    ("mpdist", pa.float64()),
+])
+
+
+def mpdist_pair_op(id_a, xa, id_b, xb, *, w: int, signal: str = "text_len"):
+    """MPdist between a conversation pair (/root/reference/R/mpdist.R)."""
+    from ..kernels.mining import mpdist
+
+    if id_a is None:
+        return _MPDIST_SCHEMA.empty_table()
+    if len(xa) < 2 * w or len(xb) < 2 * w:
+        return None
+    return pa.Table.from_pylist(
+        [{"conv_a": id_a, "conv_b": id_b, "mpdist": mpdist(xa, xb, w)}],
+        schema=_MPDIST_SCHEMA)
+
+
+_ABJOIN_SCHEMA = pa.schema([
+    ("conv_a", pa.string()), ("conv_b", pa.string()),
+    ("orientation", pa.string()), ("window_idx", pa.int64()),
+    ("mp", pa.float64()), ("pi", pa.int64()),
+])
+
+
+def abjoin_pair_op(id_a, xa, id_b, xb, *, w: int, signal: str = "text_len"):
+    """AB similarity join, BOTH orientations (join/join-reversed — the
+    reference's stamp/stomp AB mode, /root/reference/R/stomp.R query path)."""
+    from ..kernels.mpx import mpx
+
+    if id_a is None:
+        return _ABJOIN_SCHEMA.empty_table()
+    if len(xa) < w or len(xb) < w or min(len(xa), len(xb)) < 2 * w:
+        return None
+    outs = []
+    for ia, ib, sa, sb, tag in ((id_a, id_b, xa, xb, "ab"),
+                                (id_b, id_a, xb, xa, "ba")):
+        prof = mpx(sa, w, query=sb)
+        p = len(prof.mp)
+        outs.append(pa.table({
+            "conv_a": pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(p, dtype=np.int32)),
+                pa.array([ia])).cast(pa.string()),
+            "conv_b": pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(p, dtype=np.int32)),
+                pa.array([ib])).cast(pa.string()),
+            "orientation": pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(p, dtype=np.int32)),
+                pa.array([tag])).cast(pa.string()),
+            "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+            "mp": pa.array(prof.mp),
+            "pi": pa.array(prof.pi.astype(np.int64)),
+        }, schema=_ABJOIN_SCHEMA))
+    return pa.concat_tables(outs)
+
+
+# ------------------------------------------------- oracle-checked kernels
+# Round-3: tie the remaining hot kernels (MASS v3, AB-join, streaming
+# stompi) to DuckDB SQL the same way profile_checked_op ties blocked/mpx —
+# compute the oracle-order exact arithmetic, ASSERT the production kernel
+# agrees within tolerance (raising fails the driver run), emit the
+# oracle-order values so the hash compare is ulp-immune.
+
+
+def _z_windows(x: np.ndarray, w: int):
+    """Oracle-order z-normalized window rows + validity mask (sd > 0)."""
+    win = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = win.mean(axis=1)
+    sd = win.std(axis=1)
+    ok = sd > 0
+    z = np.where(ok[:, None],
+                 (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
+    return z, ok
+
+
+_DISTPROF_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()), ("d", pa.float64()),
+])
+
+
+def distprof_checked_op(conv_id, batch, r, *, w: int,
+                        signal: str = "text_len", round_dp: int = 6,
+                        atol: float = 2e-5):
+    """MASS v3 distance profile of each conv's window 0, gated by the
+    oracle-order exact z-distance (SQL: DIST_PROFILE_CHECKED_SQL)."""
+    from ..kernels.mass import dist_profile
+
+    if conv_id is None:
+        return _DISTPROF_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    z, ok = _z_windows(x, w)
+    if not ok[0]:
+        return None
+    d = np.sqrt(((z - z[0]) ** 2).sum(axis=1))
+    d[~ok] = np.inf
+    prod, _ = dist_profile(x, x[:w], method="v3")
+    both = ok & np.isfinite(d) & np.isfinite(prod)
+    if not np.allclose(prod[both], d[both], rtol=0.0, atol=atol):
+        worst = float(np.abs(prod[both] - d[both]).max())
+        raise AssertionError(
+            f"MASS v3 deviates from oracle-order distance profile on conv "
+            f"{conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+    idx = np.flatnonzero(ok & np.isfinite(d))
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(idx), dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(idx.astype(np.int64)),
+        "d": pa.array(np.round(d[idx], round_dp)),
+    }, schema=_DISTPROF_CHECKED_SCHEMA)
+
+
+def stompi_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                      signal: str = "text_len", round_dp: int = 6,
+                      atol: float = 2e-5):
+    """STREAMING profile (2/3 seed + 1/3 incremental stompi appends) gated by
+    the oracle-order exact batch profile — proving the incremental recurrence
+    (/root/reference/R/stompi.R:52-96) converges to the batch answer, checked
+    all the way to SQL (reuses the mp_exact oracle with a 4w min-length
+    bound)."""
+    if conv_id is None:
+        return _MP_EXACT_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 4 * w:
+        return None
+    cut = 2 * len(x) // 3
+    sp = StreamingProfile(x[:cut], w)
+    sp.update(x[cut:])
+    mp_s = sp.profile.mp
+    mp_e, ok = _oracle_order_mp(x, w, zone)
+    both = ok & np.isfinite(mp_e) & np.isfinite(mp_s[: len(mp_e)])
+    if not np.allclose(mp_s[: len(mp_e)][both], mp_e[both], rtol=0.0, atol=atol):
+        worst = float(np.abs(mp_s[: len(mp_e)][both] - mp_e[both]).max())
+        raise AssertionError(
+            f"streaming stompi profile deviates from oracle-order batch "
+            f"profile on conv {conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+    return _mp_exact_table(conv_id, mp_e, ok, round_dp)
+
+
+_ABJOIN_CHECKED_SCHEMA = pa.schema([
+    ("conv_a", pa.string()), ("conv_b", pa.string()),
+    ("window_idx", pa.int64()), ("mp", pa.float64()),
+])
+
+
+def abjoin_checked_pair_op(id_a, xa, id_b, xb, *, w: int,
+                           signal: str = "text_len", round_dp: int = 6,
+                           atol: float = 2e-5):
+    """AB join (both directions) gated by the oracle-order exact cross
+    z-distance (SQL: AB_JOIN_CHECKED_SQL). Direction is encoded by the
+    (conv_a, conv_b) column pair."""
+    from ..kernels.mpx import mpx
+
+    if id_a is None:
+        return _ABJOIN_CHECKED_SCHEMA.empty_table()
+    if len(xa) < 2 * w or len(xb) < 2 * w:
+        return None
+    outs = []
+    for ia, ib, sa, sb in ((id_a, id_b, xa, xb), (id_b, id_a, xb, xa)):
+        za, oka = _z_windows(sa, w)
+        zb, okb = _z_windows(sb, w)
+        d2 = (((za[:, None, :] - zb[None, :, :]) ** 2).sum(axis=2)
+              if len(za) * len(zb) <= 1 << 22 else None)
+        if d2 is None:  # row blocks for big pairs: O(block × pb) memory
+            d2min = np.full(len(za), np.inf)
+            for lo in range(0, len(za), 512):
+                hi = min(lo + 512, len(za))
+                blk = ((za[lo:hi, None, :] - zb[None, :, :]) ** 2).sum(axis=2)
+                blk[:, ~okb] = np.inf
+                d2min[lo:hi] = blk.min(axis=1)
+        else:
+            d2[:, ~okb] = np.inf
+            d2min = d2.min(axis=1)
+        d = np.sqrt(d2min)
+        d[~oka] = np.inf
+        prod = mpx(sa, w, query=sb)
+        both = oka & np.isfinite(d) & np.isfinite(prod.mp[: len(d)])
+        if not np.allclose(prod.mp[: len(d)][both], d[both], rtol=0.0, atol=atol):
+            worst = float(np.abs(prod.mp[: len(d)][both] - d[both]).max())
+            raise AssertionError(
+                f"AB-join kernel deviates from oracle-order cross distance "
+                f"on pair ({ia}, {ib}): max|Δ|={worst:.2e} > atol={atol}")
+        idx = np.flatnonzero(oka & np.isfinite(d))
+        outs.append(pa.table({
+            "conv_a": pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(len(idx), dtype=np.int32)),
+                pa.array([ia])).cast(pa.string()),
+            "conv_b": pa.DictionaryArray.from_arrays(
+                pa.array(np.zeros(len(idx), dtype=np.int32)),
+                pa.array([ib])).cast(pa.string()),
+            "window_idx": pa.array(idx.astype(np.int64)),
+            "mp": pa.array(np.round(d[idx], round_dp)),
+        }, schema=_ABJOIN_CHECKED_SCHEMA))
+    return pa.concat_tables(outs)
+
+
+_MOTIFS_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("motif_a", pa.int64()), ("motif_b", pa.int64()),
+    ("motif_dist", pa.float64()),
+    ("discord", pa.int64()), ("discord_dist", pa.float64()),
+])
+
+
+def motifs_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                      signal: str = "text_len", round_dp: int = 6,
+                      atol: float = 2e-5):
+    """Top motif pair + top discord tied to SQL (MOTIFS_CHECKED_SQL): the
+    oracle-order selection rounds distances to ``round_dp`` BEFORE the
+    argmin/argmax and breaks ties by (i, j) — deterministic in both numpy and
+    DuckDB despite summation-order ulp differences (integer-valued signals
+    make exact distance ties common). The production ``find_motifs`` /
+    ``find_discords`` top distances are asserted against the oracle's."""
+    from ..kernels.mining import find_discords, find_motifs
+
+    if conv_id is None:
+        return _MOTIFS_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    mp, ok = _oracle_order_mp(x, w, zone)
+    if not np.isfinite(mp).any():
+        return None
+    # full rounded pair-distance matrix for the motif argmin (convs here are
+    # the 10 smallest; p is a few hundred)
+    z, _ = _z_windows(x, w)
+    p = len(z)
+    d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+    band = np.abs(np.arange(p)[:, None] - np.arange(p)[None, :]) <= zone
+    d = np.round(np.sqrt(d2), round_dp)
+    d[band] = np.inf
+    d[~ok] = np.inf
+    d[:, ~ok] = np.inf
+    iu = np.triu_indices(p, k=1)
+    vals = d[iu]
+    if not np.isfinite(vals).any():
+        return None
+    order = np.lexsort((iu[1], iu[0], vals))
+    best = order[0]
+    ma, mb, mdist = int(iu[0][best]), int(iu[1][best]), float(vals[best])
+    mp_r = np.round(mp, round_dp)
+    mp_r[~np.isfinite(mp)] = -np.inf
+    disc = int(np.argmax(mp_r))  # argmax takes the FIRST max (ties by i)
+    ddist = float(mp_r[disc])
+
+    prof = _auto_profile(x, w)
+    motifs = find_motifs(x, prof, n_motifs=1)
+    discords = find_discords(x, prof, n_discords=1)
+    if motifs and abs(motifs[0]["distance"] - mdist) > atol:
+        raise AssertionError(
+            f"find_motifs top distance {motifs[0]['distance']} deviates from "
+            f"oracle-order {mdist} on conv {conv_id}")
+    if discords and abs(discords[0]["distance"] - ddist) > atol:
+        raise AssertionError(
+            f"find_discords top distance {discords[0]['distance']} deviates "
+            f"from oracle-order {ddist} on conv {conv_id}")
+    return pa.Table.from_pylist([{
+        "conv_id": conv_id, "motif_a": ma, "motif_b": mb,
+        "motif_dist": mdist, "discord": disc, "discord_dist": ddist,
+    }], schema=_MOTIFS_CHECKED_SCHEMA)
+
+
+_MSTOMP_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("k_dim", pa.int64()),
+    ("window_idx", pa.int64()), ("mp", pa.float64()),
+])
+
+
+def mstomp_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                      signals: tuple[str, ...] = SIGNAL_COLUMNS,
+                      round_dp: int = 6, atol: float = 2e-5):
+    """Multidimensional profile tied to SQL (MSTOMP_CHECKED_SQL): oracle-order
+    per-dim z-distance² (= the kernel's 2w(1−corr) in exact arithmetic),
+    k-of-d average of the k smallest dims per pair, sqrt at the end
+    (mstomp.R:234-264 semantics). A query window degenerate in ANY dim is
+    dropped (mstomp.R:204-206); a candidate degenerate in one dim still
+    competes through its other dims. The production ``mstomp`` kernel rows
+    are asserted against the oracle per k."""
+    if conv_id is None:
+        return _MSTOMP_CHECKED_SCHEMA.empty_table()
+    mats = [_series(batch, r, s) for s in signals]
+    n = len(mats[0])
+    if n < 2 * w:
+        return None
+    p = n - w + 1
+    nd = len(signals)
+    D = np.empty((nd, p, p))
+    okq = np.ones(p, dtype=bool)
+    for di, x in enumerate(mats):
+        z, ok = _z_windows(x, w)
+        d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+        d2[:, ~ok] = np.inf      # candidate degenerate in THIS dim
+        D[di] = d2
+        okq &= ok                # query degenerate in ANY dim → row dropped
+    band = np.abs(np.arange(p)[:, None] - np.arange(p)[None, :]) <= zone
+    D[:, band] = np.inf
+    srt = np.sort(D, axis=0)
+    cum = np.cumsum(srt, axis=0)
+    res = mstomp(np.stack(mats, axis=1), w)
+    ks, idxs, mps = [], [], []
+    for k in range(1, nd + 1):
+        with np.errstate(invalid="ignore"):
+            avg = cum[k - 1] / k
+        avg[~okq] = np.inf
+        mp_k = np.sqrt(avg.min(axis=1))
+        prod = res.mp[k - 1]
+        both = np.isfinite(mp_k) & np.isfinite(prod)
+        if both.any() and not np.allclose(prod[both], mp_k[both], rtol=0.0, atol=atol):
+            worst = float(np.abs(prod[both] - mp_k[both]).max())
+            raise AssertionError(
+                f"mstomp kernel deviates from oracle-order k={k} profile on "
+                f"conv {conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+        fin = np.flatnonzero(np.isfinite(mp_k))
+        ks.append(np.full(len(fin), k, dtype=np.int64))
+        idxs.append(fin.astype(np.int64))
+        mps.append(np.round(mp_k[fin], round_dp))
+    tot = sum(len(a) for a in idxs)
+    if not tot:
+        return None
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(tot, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "k_dim": pa.array(np.concatenate(ks)),
+        "window_idx": pa.array(np.concatenate(idxs)),
+        "mp": pa.array(np.concatenate(mps)),
+    }, schema=_MSTOMP_CHECKED_SCHEMA)
