@@ -101,15 +101,26 @@ def _fault_probe_mb_s() -> float:
     return 200.0 / max(time.time() - t0, 1e-9)
 
 
-def wait_out_slow_phase(max_wait_sec: int = 480) -> float:
+def wait_out_slow_phase(max_wait_sec: int | None = None) -> float:
     """If the host is in a slow page-fault phase, wait (bounded) for it to
     lift before timing anything — a slow phase inflates every wall-clock
-    number 3-10× regardless of engine quality. Returns the last probe."""
+    number 3-10× regardless of engine quality. Requires CONSECUTIVE fast
+    probes: the host emits brief fast blips inside multi-minute slow phases,
+    and a single passing probe used to green-light runs that then crawled
+    (the round-2 scaling-measurement failure mode). Env knobs:
+    GRAFT_PROBE_MIN (MB/s, default 150), GRAFT_PROBE_CONSEC (default 3),
+    GRAFT_PROBE_WAIT (sec, default 900). Returns the last probe."""
+    min_mb_s = float(os.environ.get("GRAFT_PROBE_MIN", "150"))
+    need = int(os.environ.get("GRAFT_PROBE_CONSEC", "3"))
+    if max_wait_sec is None:
+        max_wait_sec = int(os.environ.get("GRAFT_PROBE_WAIT", "900"))
     deadline = time.time() + max_wait_sec
     speed = _fault_probe_mb_s()
-    while speed < 100.0 and time.time() < deadline:
-        time.sleep(45)
+    streak = 1 if speed >= min_mb_s else 0
+    while streak < need and time.time() < deadline:
+        time.sleep(10 if streak else 45)
         speed = _fault_probe_mb_s()
+        streak = streak + 1 if speed >= min_mb_s else 0
     return speed
 
 
@@ -173,7 +184,13 @@ def headline_pipelines(sf_dir: str):
         return state["packed"].count()
 
     def rollup_tiers():
-        tiers = build_tiers(unpack_signals(state["packed"]), CFG)
+        # zero-shuffle path: all tiers per conv straight from packed rows
+        # (== build_tiers output bitwise, asserted in tests)
+        from tsmp_ray.stages.rollup import tiers_from_packed
+
+        tiers = tiers_from_packed(state["packed"],
+                                  gap_fill=CFG.gap_fill,
+                                  max_gap=CFG.gap_fill_max_buckets)
         state["t1m"] = tiers["1m"]
         return sum(t.count() for t in tiers.values())
 

@@ -302,3 +302,27 @@ def test_checked_ops_gate_production_kernels(ray_session):
     with pytest.raises(Exception):
         per_conv_stage(packed, profile_checked_op,
                        dict(kw, atol=1e-14)).to_pandas()
+
+
+def test_tiers_from_packed_equals_build_tiers(ray_session):
+    """The zero-shuffle packed-row tier path must equal the generic
+    partial+groupby fold path BITWISE (same add order: ts order within
+    buckets, bucket order across folds), gap rows included."""
+    import ray
+
+    from tsmp_ray.pipelines.analyze import build_tiers
+    from tsmp_ray.stages.rollup import tiers_from_packed
+    from tsmp_ray.stages.signals import unpack_signals
+
+    tbl = synthetic_transcripts(n_convs=5, seed=8, mean_turns=150)
+    packed = pack_series(ray.data.from_arrow(tbl)).materialize()
+    cfg = EngineConfig(window_size=8)
+    a = build_tiers(unpack_signals(packed), cfg)
+    b = tiers_from_packed(packed, gap_fill=cfg.gap_fill,
+                          max_gap=cfg.gap_fill_max_buckets)
+    keys = ["conv_id", "signal", "bucket_ts"]
+    for tier in ("1m", "1h", "1d"):
+        x = sorted_df(a[tier].to_pandas(), keys)
+        y = sorted_df(b[tier].to_pandas(), keys)[x.columns.tolist()]
+        assert len(x) > 0
+        pd.testing.assert_frame_equal(x, y, check_dtype=False)

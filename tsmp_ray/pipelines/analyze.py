@@ -55,7 +55,13 @@ def analyze(ds_transcripts, cfg: EngineConfig | None = None):
     cfg = cfg or EngineConfig()
     packed = pack_series(ds_transcripts).materialize()
     signals = unpack_signals(packed)
-    tiers = build_tiers(signals, cfg)
+    # zero-shuffle tier path: per-conv reduceat folds straight from the
+    # packed rows (== build_tiers bitwise, asserted in tests); build_tiers
+    # remains the generic path for signals that were never packed
+    from ..stages.rollup import tiers_from_packed
+
+    tiers = tiers_from_packed(packed, gap_fill=cfg.gap_fill,
+                              max_gap=cfg.gap_fill_max_buckets)
     profiles = compute_profiles(packed, cfg)
     mining = mining_results(packed, cfg)
     return {"signals": signals, "tiers": tiers, "profiles": profiles,
