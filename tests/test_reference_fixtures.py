@@ -175,3 +175,28 @@ def test_subset_profile_rebase_invariants(tilt_mid_profile):
     # double subset accumulates offset
     sub2 = subset_profile(sub, 100, 2000)
     assert sub2.extra["offset"] == 600
+
+
+def test_mp_test_data_long_series_digests():
+    """Long-series stress known-answer (215k-point mp_test_data): mpx over a
+    30k prefix at w=200 with motif/discord digests pinned. Values computed
+    once (round 3) and sanity-checked; they guard kernel regressions on a
+    REAL long series, not just synthetic toys."""
+    from tsmp_ray.kernels.mining import find_discords, find_motifs
+    from tsmp_ray.kernels.mpx import mpx
+
+    d = read_rda(f"{REF_DATA}/mp_test_data.rda")["mp_test_data"]
+    x = d["train"]["data"].ravel(order="F").astype(np.float64)
+    assert len(x) == 215010
+    prefix = x[:30_000]
+    prof = mpx(prefix, 200)
+    fin = np.isfinite(prof.mp)
+    assert int(fin.sum()) == 29801  # every window valid on this data
+    assert abs(float(prof.mp[fin].mean()) - 6.866761) < 1e-3
+    assert abs(float(prof.mp[fin].sum()) - 204636.3) < 30.0
+    m = find_motifs(prefix, prof, n_motifs=1)
+    dc = find_discords(prefix, prof, n_discords=1)
+    assert m[0]["motifs"] == [11627, 25374]
+    assert abs(m[0]["distance"] - 0.739531) < 1e-4
+    assert dc[0]["discord"] == 11431
+    assert abs(dc[0]["distance"] - 14.781634) < 1e-4
