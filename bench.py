@@ -322,8 +322,52 @@ def run_scaling() -> dict:
     }
 
 
+def _control_work(n_iter: int) -> float:
+    os.environ["OMP_NUM_THREADS"] = "1"
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((256, 256))
+    t0 = time.time()
+    s = 0.0
+    for _ in range(n_iter):
+        b = a @ a
+        s += float(b[0, 0])
+    return time.time() - t0
+
+
+def run_control() -> dict:
+    """Pure-CPU hardware ceiling: K independent processes × identical
+    cache-resident BLAS workload, zero communication. Whatever efficiency
+    this pair shows is the MAXIMUM any engine can reach on this box at the
+    same pair (frequency droop + shared-resource contention); pairs via
+    $SCALE_LO / $SCALE_HI. Reported alongside the engine's measured pair in
+    BASELINE.md."""
+    import multiprocessing as mp
+
+    lo_n = int(os.environ.get("SCALE_LO", "8"))
+    hi_n = int(os.environ.get("SCALE_HI", "32"))
+
+    def agg(k: int) -> float:
+        with mp.Pool(k) as p:
+            t0 = time.time()
+            p.map(_control_work, [400] * (k * 3))
+            return (k * 3) / (time.time() - t0)
+
+    hi = agg(hi_n)
+    lo = agg(lo_n)
+    hi = max(hi, agg(hi_n))
+    lo = max(lo, agg(lo_n))
+    return {"cpus": [lo_n, hi_n],
+            f"units_per_sec_{lo_n}": round(lo, 2),
+            f"units_per_sec_{hi_n}": round(hi, 2),
+            "control_efficiency": round((hi / lo) / (hi_n / lo_n), 3)}
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--control" in sys.argv:
+        print(json.dumps(run_control()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
         print(json.dumps(run_bench()))
