@@ -362,6 +362,63 @@ FROM kd GROUP BY 1, 2, 3
 """
 
 
+def valmod_checked_sql(wmin: int, wmax: int, ez: float) -> str:
+    """Variable-length motif sweep in pure SQL: one windows-CTE chain + self
+    join PER window length (zone scales with w), each profile length-
+    normalized by 1/sqrt(w) and rounded BEFORE the cross-window min; ties
+    keep the smallest w (ORDER BY scaled, w) — gating
+    ``valmod_checked_op``'s heap-pruned production valmod."""
+    parts = [
+        _T,
+        f", sig AS ({SIGNALS_SQL.replace(_T, '')})",
+        ", sel AS (SELECT DISTINCT conv_id FROM transcripts"
+        " ORDER BY conv_id LIMIT 10)",
+        """, pos AS (
+  SELECT s.conv_id,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1
+           AS posn,
+         s.text_len AS v,
+         count(*) OVER (PARTITION BY s.conv_id) AS n
+  FROM sig s JOIN sel USING (conv_id)
+)""",
+    ]
+    unions = []
+    for w in range(wmin, wmax + 1):
+        zone = exclusion_zone(w, ez)
+        parts.append(f"""
+, stats_{w} AS (
+  SELECT conv_id, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd, n
+  FROM pos
+  WINDOW win AS (PARTITION BY conv_id ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+st_{w} AS (SELECT * FROM stats_{w}
+           WHERE i <= n - {w} AND n >= {2 * wmax} AND sd > 0),
+zt_{w} AS (
+  SELECT p.conv_id, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
+  FROM pos p JOIN st_{w} st ON p.conv_id = st.conv_id
+                            AND p.posn BETWEEN st.i AND st.i + {w - 1}
+)""")
+        unions.append(f"""
+SELECT conv_id, i, {w} AS w,
+       round(sqrt(min(d2)) / sqrt({w}.0), 6) AS scaled
+FROM (
+  SELECT a.conv_id, a.i, b.i AS j, sum((a.z - b.z) * (a.z - b.z)) AS d2
+  FROM zt_{w} a JOIN zt_{w} b ON a.conv_id = b.conv_id AND a.k = b.k
+                              AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3
+) GROUP BY 1, 2""")
+    parts.append(", all_w AS (" + "\nUNION ALL\n".join(unions) + ")")
+    parts.append("""
+SELECT conv_id, i AS window_idx, scaled AS mp_norm, w AS best_w
+FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, i
+                                   ORDER BY scaled, w) AS rn FROM all_w)
+WHERE rn = 1
+""")
+    return "\n".join(parts)
+
+
 def ab_join_checked_sql(w: int) -> str:
     """AB similarity join in pure SQL: conversations with numeric id < 10
     pair as (2k, 2k+1); cross z-distance between the two convs' windows (no
@@ -885,6 +942,18 @@ def q_motifs_checked(sf_dir: str):
          "zone": exclusion_zone(CFG.window_size, CFG.ez)})
 
 
+def q_valmod_checked(sf_dir: str):
+    """Heap-pruned valmod tied to SQL: per-window oracle-order profiles,
+    1/sqrt(w) normalized, rounded-before-min with smallest-w ties; the
+    production lb=True sweep asserted in-op (10 smallest convs)."""
+    from ..stages.mining_stage import per_conv_stage, valmod_checked_op
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(sel, valmod_checked_op,
+                          {"wmin": 6, "wmax": 12, "ez": CFG.ez})
+
+
 def q_mstomp_checked(sf_dir: str):
     """Production mstomp kernel tied to SQL: oracle-order k-of-3 averaged
     z-distance profiles, asserted in-op (10 smallest convs)."""
@@ -1055,6 +1124,7 @@ QUERIES = {
     "dist_profile_checked": q_dist_profile_checked,
     "motifs_checked": q_motifs_checked,
     "mstomp_checked": q_mstomp_checked,
+    "valmod_checked": q_valmod_checked,
     "stompi_checked": q_stompi_checked,
     "ab_join_checked": q_ab_join_checked,
     "dist_profile": q_dist_profile,
@@ -1094,6 +1164,7 @@ ORACLES = {
         CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
     "mstomp_checked": mstomp_checked_sql(
         CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
+    "valmod_checked": valmod_checked_sql(6, 12, CFG.ez),
     "stompi_checked": mp_exact_sql(CFG.window_size,
                                    exclusion_zone(CFG.window_size, CFG.ez),
                                    min_n=4 * CFG.window_size),

@@ -949,3 +949,62 @@ def mstomp_checked_op(conv_id, batch, r, *, w: int, zone: int,
         "window_idx": pa.array(np.concatenate(idxs)),
         "mp": pa.array(np.concatenate(mps)),
     }, schema=_MSTOMP_CHECKED_SCHEMA)
+
+
+_VALMOD_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()),
+    ("mp_norm", pa.float64()), ("best_w", pa.int64()),
+])
+
+
+def valmod_checked_op(conv_id, batch, r, *, wmin: int, wmax: int,
+                      ez: float = DEFAULT_EZ, signal: str = "text_len",
+                      round_dp: int = 6, atol: float = 2e-5):
+    """Variable-length sweep tied to SQL (VALMOD_CHECKED_SQL): per window
+    the oracle-order exact profile, length-normalized 1/sqrt(w)
+    (valmod.R:169,609-640), ROUNDED to ``round_dp`` before the cross-window
+    min (strict '<' keeps the SMALLEST w on ties — deterministic in both
+    numpy and SQL's ORDER BY scaled, w). The production heap-pruned
+    ``valmod`` (lb=True) is asserted against the oracle per index — gating
+    the pruning/certification logic itself, not just the exact sweep."""
+    from ..config import exclusion_zone
+    from ..kernels.mining import valmod
+
+    if conv_id is None:
+        return _VALMOD_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * wmax:
+        return None
+    p_out = len(x) - wmin + 1
+    best = np.full(p_out, np.inf)
+    bw = np.full(p_out, -1, dtype=np.int64)
+    for w in range(wmin, wmax + 1):
+        z, ok = _z_windows(x, w)
+        p = len(z)
+        zone = exclusion_zone(w, ez)
+        d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+        band = np.abs(np.arange(p)[:, None] - np.arange(p)[None, :]) <= zone
+        d2[band] = np.inf
+        d2[~ok] = np.inf
+        d2[:, ~ok] = np.inf
+        scaled = np.round(np.sqrt(d2.min(axis=1)) / np.sqrt(w), round_dp)
+        upd = scaled < best[:p]
+        best[:p][upd] = scaled[upd]
+        bw[:p][upd] = w
+    prod = valmod(x, wmin, wmax, ez=ez, lb=True)
+    both = np.isfinite(best) & np.isfinite(prod["mp"])
+    if not np.allclose(prod["mp"][both], best[both], rtol=0.0,
+                       atol=atol + 10.0 ** -round_dp):
+        worst = float(np.abs(prod["mp"][both] - best[both]).max())
+        raise AssertionError(
+            f"heap-pruned valmod deviates from oracle-order sweep on conv "
+            f"{conv_id}: max|Δ|={worst:.2e}")
+    idx = np.flatnonzero(np.isfinite(best))
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(idx), dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(idx.astype(np.int64)),
+        "mp_norm": pa.array(best[idx]),
+        "best_w": pa.array(bw[idx]),
+    }, schema=_VALMOD_CHECKED_SCHEMA)
