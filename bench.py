@@ -232,7 +232,13 @@ def run_bench() -> dict:
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # push-based shuffle wins when many CPUs contend for the sort pipeline
+    # (measured on the conv_id pack, scaling shape: 17.5s -> 9.1s at 32
+    # CPUs) but LOSES at low parallelism (8.7s -> 12.9s at 8 CPUs) — gate
+    # on the session size
+    ctx.use_push_based_shuffle = ncpu >= 16
     prewarm_workers(ncpu)  # untimed
 
     # the sandbox's page-fault cost oscillates (measured 100× swings minutes
