@@ -362,6 +362,62 @@ FROM kd GROUP BY 1, 2, 3
 """
 
 
+def mpdist_checked_sql(w: int, thr: float = 0.05) -> str:
+    """MPdist per consecutive conv pair (numeric ids < 10) in pure SQL:
+    per-window cross-distance minima from both directions concatenated,
+    value at rank k = ceil(thr·(na+nb)) — gates
+    ``mpdist_checked_pair_op``'s production mpdist kernel."""
+    return _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, pos AS (
+  SELECT s.conv_id,
+         CAST(substr(s.conv_id, 2) AS BIGINT) AS num,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1
+           AS posn,
+         s.text_len AS v,
+         count(*) OVER (PARTITION BY s.conv_id) AS n
+  FROM sig s WHERE CAST(substr(s.conv_id, 2) AS BIGINT) < 10
+),
+stats AS (
+  SELECT conv_id, num, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd, n
+  FROM pos
+  WINDOW win AS (PARTITION BY conv_id ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+st AS (SELECT * FROM stats WHERE i <= n - {w} AND n >= {2 * w} AND sd > 0),
+zt AS (
+  SELECT p.conv_id, p.num, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
+  FROM pos p JOIN st ON p.conv_id = st.conv_id AND p.posn BETWEEN st.i AND st.i + {w - 1}
+),
+d AS (
+  SELECT a.num // 2 AS pair_id, a.conv_id AS ca, a.i, b.i AS j,
+         sum((a.z - b.z) * (a.z - b.z)) AS d2
+  FROM zt a JOIN zt b ON a.num // 2 = b.num // 2 AND a.num <> b.num
+                      AND a.k = b.k
+  GROUP BY 1, 2, 3, 4
+),
+perwin AS (SELECT pair_id, ca, i, min(d2) AS d2 FROM d GROUP BY 1, 2, 3),
+lens AS (
+  SELECT num // 2 AS pair_id,
+         sum(n) AS ntot,
+         arg_min(conv_id, num) AS conv_a, arg_max(conv_id, num) AS conv_b,
+         count(*) AS nconvs
+  FROM (SELECT DISTINCT conv_id, num, n FROM pos)
+  GROUP BY 1
+),
+ranked AS (
+  SELECT pair_id, d2,
+         row_number() OVER (PARTITION BY pair_id ORDER BY d2) AS rn
+  FROM perwin
+)
+SELECT l.conv_a, l.conv_b, round(sqrt(r.d2), 6) AS mpdist
+FROM ranked r JOIN lens l ON r.pair_id = l.pair_id
+WHERE l.nconvs = 2
+  AND r.rn = GREATEST(CAST(ceil({thr} * l.ntot) AS BIGINT), 1)
+"""
+
+
 def valmod_checked_sql(wmin: int, wmax: int, ez: float) -> str:
     """Variable-length motif sweep in pure SQL: one windows-CTE chain + self
     join PER window length (zone scales with w), each profile length-
@@ -942,6 +998,25 @@ def q_motifs_checked(sf_dir: str):
          "zone": exclusion_zone(CFG.window_size, CFG.ez)})
 
 
+def q_mpdist_checked(sf_dir: str):
+    """Production mpdist kernel tied to SQL: consecutive pairs among numeric
+    conv ids < 10, oracle-order k-th-smallest asserted in-op."""
+    from ..stages.mining_stage import conv_pair_stage, mpdist_checked_pair_op
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        from ..stages.mining_stage import _conv_num
+
+        num = np.array([_conv_num(s) for s in batch["conv_id"].to_pylist()],
+                       dtype=np.int64)
+        return batch.filter(pa.array(num < 10))
+
+    packed = packed.map_batches(flt, batch_format="pyarrow")
+    return conv_pair_stage(packed, mpdist_checked_pair_op,
+                           {"w": CFG.window_size})
+
+
 def q_valmod_checked(sf_dir: str):
     """Heap-pruned valmod tied to SQL: per-window oracle-order profiles,
     1/sqrt(w) normalized, rounded-before-min with smallest-w ties; the
@@ -1125,6 +1200,7 @@ QUERIES = {
     "motifs_checked": q_motifs_checked,
     "mstomp_checked": q_mstomp_checked,
     "valmod_checked": q_valmod_checked,
+    "mpdist_checked": q_mpdist_checked,
     "stompi_checked": q_stompi_checked,
     "ab_join_checked": q_ab_join_checked,
     "dist_profile": q_dist_profile,
@@ -1165,6 +1241,7 @@ ORACLES = {
     "mstomp_checked": mstomp_checked_sql(
         CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
     "valmod_checked": valmod_checked_sql(6, 12, CFG.ez),
+    "mpdist_checked": mpdist_checked_sql(CFG.window_size),
     "stompi_checked": mp_exact_sql(CFG.window_size,
                                    exclusion_zone(CFG.window_size, CFG.ez),
                                    min_n=4 * CFG.window_size),

@@ -1008,3 +1008,49 @@ def valmod_checked_op(conv_id, batch, r, *, wmin: int, wmax: int,
         "mp_norm": pa.array(best[idx]),
         "best_w": pa.array(bw[idx]),
     }, schema=_VALMOD_CHECKED_SCHEMA)
+
+
+_MPDIST_CHECKED_SCHEMA = pa.schema([
+    ("conv_a", pa.string()), ("conv_b", pa.string()),
+    ("mpdist", pa.float64()),
+])
+
+
+def mpdist_checked_pair_op(id_a, xa, id_b, xb, *, w: int, thr: float = 0.05,
+                           signal: str = "text_len", round_dp: int = 6,
+                           atol: float = 2e-5):
+    """MPdist tied to SQL (MPDIST_CHECKED_SQL): oracle-order per-window
+    cross-distance minima from BOTH directions, concatenated, k-th smallest
+    with k = ceil(thr·(na+nb)) (/root/reference/R/mpdist.R:125-131,194-212).
+    The production ``mpdist`` kernel is asserted against the oracle value.
+    Pairs where fewer than k finite per-window minima exist emit nothing
+    (the kernel returns Inf there)."""
+    from ..kernels.mining import mpdist
+
+    if id_a is None:
+        return _MPDIST_CHECKED_SCHEMA.empty_table()
+    if len(xa) < 2 * w or len(xb) < 2 * w:
+        return None
+    mins = []
+    for sa, sb in ((xa, xb), (xb, xa)):
+        za, oka = _z_windows(sa, w)
+        zb, okb = _z_windows(sb, w)
+        d2 = ((za[:, None, :] - zb[None, :, :]) ** 2).sum(axis=2)
+        d2[:, ~okb] = np.inf
+        m = d2.min(axis=1)
+        m[~oka] = np.inf
+        mins.append(m)
+    abba = np.sqrt(np.concatenate(mins))
+    k = max(int(np.ceil(thr * (len(xa) + len(xb)))), 1)
+    fin = np.sort(abba[np.isfinite(abba)])
+    if len(fin) < k:
+        return None
+    val = float(fin[k - 1])
+    prod = mpdist(xa, xb, w, thr=thr)
+    if abs(prod - val) > atol:
+        raise AssertionError(
+            f"mpdist kernel deviates from oracle-order value on pair "
+            f"({id_a}, {id_b}): |{prod} - {val}| > {atol}")
+    return pa.Table.from_pylist([{
+        "conv_a": id_a, "conv_b": id_b, "mpdist": round(val, round_dp),
+    }], schema=_MPDIST_CHECKED_SCHEMA)
