@@ -71,3 +71,25 @@ def test_multimodal_audio_and_frames(ray_session):
     with _pytest.raises(Exception):
         ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": False},
                        batch_format="pyarrow").materialize()
+
+
+def test_dup_components_long_path_graph(ray_session):
+    """Adversarial: a 200-node path (diameter 199, shuffled edge order) must
+    fully collapse to the minimum label — star contraction converges in
+    O(log² n) rounds, far under max_rounds, with no driver label dict."""
+    import ray
+
+    from tsmp_ray.stages.dedup import dup_components
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(10_000)[:200]  # non-contiguous shuffled ids
+    pairs = list(zip(ids[:-1], ids[1:]))
+    rng.shuffle(pairs)
+    tbl = pa.table({
+        "doc_id": pa.array([int(min(p)) for p in pairs], pa.int64()),
+        "dup_id": pa.array([int(max(p)) for p in pairs], pa.int64()),
+    })
+    got = dup_components(ray.data.from_arrow(tbl)).to_pandas()
+    lab = int(ids.min())
+    assert set(got["doc_id"]) == set(int(i) for i in ids)
+    assert (got["component"] == lab).all()
