@@ -781,6 +781,40 @@ def q_lang_id(sf_dir: str):
         .select_columns(["doc_id", "lang", "lang_pred"])
 
 
+FINGERPRINTS_CHECKED_SQL = _T + """
+SELECT conv_id,
+       md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS digest,
+       count(*) AS n_turns
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_fingerprints_checked(sf_dir: str):
+    """Per-conversation md5 content digest under STABLE (turn_idx) order —
+    the text-equality / ordering invariant gated by a SQL oracle (the crc32
+    variant in ``q_fingerprints`` has no DuckDB analog). Any shuffle that
+    breaks stable in-group ordering changes the digest."""
+    import hashlib
+
+    ds = transcripts_from_events(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
+        batch = batch.take(order)
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "conv_id": pa.array([batch["conv_id"][0].as_py()]),
+            "digest": pa.array([hashlib.md5(
+                "\x1f".join(texts).encode()).hexdigest()]),
+            "n_turns": pa.array([batch.num_rows], pa.int64()),
+        })
+
+    return ds.groupby("conv_id").map_groups(fp, batch_format="pyarrow")
+
+
 def q_fingerprints(sf_dir: str):
     import ray
 
@@ -1183,6 +1217,7 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "fingerprints_checked": q_fingerprints_checked,
     "minhash_dedup": q_minhash_dedup,
     "dedup_components": q_dedup_components,
     "simhash_dedup": q_simhash_dedup,
@@ -1242,6 +1277,7 @@ ORACLES = {
         CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
     "valmod_checked": valmod_checked_sql(6, 12, CFG.ez),
     "mpdist_checked": mpdist_checked_sql(CFG.window_size),
+    "fingerprints_checked": FINGERPRINTS_CHECKED_SQL,
     "stompi_checked": mp_exact_sql(CFG.window_size,
                                    exclusion_zone(CFG.window_size, CFG.ez),
                                    min_n=4 * CFG.window_size),
