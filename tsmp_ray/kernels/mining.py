@@ -510,7 +510,7 @@ def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
 
 
 def valmod(data: np.ndarray, window_min: int, window_max: int,
-           ez: float = DEFAULT_EZ, lb: bool = True,
+           ez: float = DEFAULT_EZ, lb: bool = False,
            heap_size: int = 50) -> dict:
     """Variable-length motif discovery over [window_min, window_max]
     (/root/reference/R/valmod.R:52-702): per-window MP, length-normalized by
@@ -528,9 +528,17 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
     recomputed with one MASS profile each (the reference leaves them
     un-updated, making its VALMP partial, valmod.R:438-470); too many
     failures trigger a fresh STOMP re-capture (the reference's
-    motifs_per_size==0 rule, valmod.R:170). Results are therefore IDENTICAL
-    to the exact ``lb=False`` sweep (asserted in tests) — pruning changes
-    speed only."""
+    motifs_per_size==0 rule, valmod.R:170). Results are IDENTICAL to the
+    exact ``lb=False`` sweep (asserted in tests, and both gated against the
+    SQL oracle via valmod_checked).
+
+    Default is ``lb=False``, MEASURED: on n=4000, w∈[20,60], the exact
+    sweep (vectorized mpx per window) runs 7.8–9.1 s vs 13.9–29.9 s for
+    the pruned path — VALMOD's pruning pays off in scalar per-cell
+    implementations (the regime of valmod.R / SIGMOD'18), but here the
+    uncertified-query MASS recomputes plus O(p²w) BLAS re-captures cost
+    more than the O(p²)-vectorized full profile it avoids. ``lb=True``
+    remains for reference-algorithm parity."""
     if lb:
         return _valmod_pruned(data, window_min, window_max, ez, heap_size)
     p_out = len(data) - window_min + 1
