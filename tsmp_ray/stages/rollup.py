@@ -353,7 +353,10 @@ def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     points ride along with the conversation partitioning.
 
     Returns {tier: Dataset}; all tiers come from one materialized combined
-    Dataset filtered by the ``tier`` column."""
+    Dataset filtered by the ``tier`` column (materialized once so three
+    consumers don't recompute the pass; at 100 TB this materialize is the
+    tier-partitioned parquet write — `state.lineage` layout — that each
+    consumer reads back, with the object store spilling in between)."""
     from ..config import TIERS as _T_
 
     widths = [(t, _T_[t]) for t in tiers]
