@@ -60,6 +60,30 @@ def test_text_equality_invariant_under_shuffle(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_pack_series_arrow_equals_map_groups(ray_session):
+    """The Arrow-native vectorized pack (one sort + per-block run packing +
+    boundary-fragment merge) must produce value-identical packed rows to the
+    blessed groupby.map_groups pack — including ts_delta across fragment
+    boundaries. Small blocks force conversations to straddle block edges so
+    the fragment-merge path is actually exercised."""
+    import ray
+
+    from tsmp_ray.stages.signals import pack_series_arrow
+
+    tbl = synthetic_transcripts(n_convs=12, seed=7, mean_turns=80)
+    # many small blocks → convs straddle block boundaries after the sort
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    a = pack_series(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    b = (pack_series_arrow(ray.data.from_arrow(tbl).repartition(16))
+         .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    assert list(a["conv_id"]) == list(b["conv_id"])
+    assert list(a["n_turns"]) == list(b["n_turns"])
+    for col in ("turn_idx", "ts", "ts_delta", "text_len", "tool_call"):
+        for x, y in zip(a[col], b[col]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=col)
+
+
 def test_derive_signals_values(ray_session):
     import ray
 

@@ -200,3 +200,49 @@ def test_mp_test_data_long_series_digests():
     assert abs(m[0]["distance"] - 0.739531) < 1e-4
     assert dc[0]["discord"] == 11431
     assert abs(dc[0]["distance"] - 14.781634) < 1e-4
+
+
+def test_mp_test_data_mstomp_pmp_digests():
+    """Long-series digests for the MULTIDIM and PAN paths on real reference
+    data (round-3 verdict item 10): mstomp over an 8k prefix (3 dims = the
+    series and its 1-/2-lag copies) at w=200, and pmp over a 10k prefix at
+    windows {100, 200, 400}. Values computed once (round 4) with sanity
+    invariants (k-of-d means increase with k; pmp means increase with w)
+    and pinned as kernel-regression guards; the same kernels are
+    SQL-oracle-gated at small scale by mstomp_checked / pmp_checked."""
+    from tsmp_ray.kernels.mining import pmp
+    from tsmp_ray.kernels.mstomp import mstomp
+
+    d = read_rda(f"{REF_DATA}/mp_test_data.rda")["mp_test_data"]
+    x = d["train"]["data"].ravel(order="F").astype(np.float64)
+    n = 8000
+    mats = np.stack([x[:n], x[1:n + 1], x[2:n + 2]], axis=1)
+    res = mstomp(mats, 200)
+    want = {1: (7.646076, 59647.0), 2: (7.681203, 59921.1),
+            3: (7.717440, 60203.7)}
+    prev_mean = 0.0
+    for k in (1, 2, 3):
+        mp = res.mp[k - 1]
+        fin = np.isfinite(mp)
+        assert int(fin.sum()) == 7801
+        mean = float(mp[fin].mean())
+        assert abs(mean - want[k][0]) < 1e-3
+        assert abs(float(mp[fin].sum()) - want[k][1]) < 10.0
+        assert int(np.argmax(np.where(fin, mp, -np.inf))) == 4244
+        assert mean > prev_mean  # k-of-d average is monotone in k
+        prev_mean = mean
+
+    r = pmp(x[:10_000], windows=[100, 200, 400])
+    want_p = {100: (9901, 4.835922, 1.947628, 740),
+              200: (9801, 7.280276, 2.583481, 710),
+              400: (9601, 10.667767, 4.506203, 627)}
+    prev_mean = 0.0
+    for w, (nfin, mean, mn, amn) in want_p.items():
+        mp = r["pmp"][w]
+        fin = np.isfinite(mp)
+        assert int(fin.sum()) == nfin
+        assert abs(float(mp[fin].mean()) - mean) < 1e-3
+        assert abs(float(mp[fin].min()) - mn) < 1e-4
+        assert int(np.argmin(np.where(fin, mp, np.inf))) == amn
+        assert float(mp[fin].mean()) > prev_mean
+        prev_mean = float(mp[fin].mean())

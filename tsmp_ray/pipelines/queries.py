@@ -475,6 +475,216 @@ WHERE rn = 1
     return "\n".join(parts)
 
 
+def pmp_checked_sql(windows: list[int], ez: float) -> str:
+    """Pan-matrix-profile in pure SQL (round-3 verdict item 4): one
+    windows-CTE chain + self join PER window length (zone scales with w),
+    emitting EVERY (conv, w, window_idx) profile value — the mp_exact
+    arithmetic parameterized by w, gating ``pmp_checked_op``'s production
+    mpx-per-window sweep. Conv-length floor = 2·max(w) (the op's bound)."""
+    wmax = max(windows)
+    parts = [
+        _T,
+        f", sig AS ({SIGNALS_SQL.replace(_T, '')})",
+        ", sel AS (SELECT DISTINCT conv_id FROM transcripts"
+        " ORDER BY conv_id LIMIT 10)",
+        """, pos AS (
+  SELECT s.conv_id,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1
+           AS posn,
+         s.text_len AS v,
+         count(*) OVER (PARTITION BY s.conv_id) AS n
+  FROM sig s JOIN sel USING (conv_id)
+)""",
+    ]
+    unions = []
+    for w in sorted(set(int(w) for w in windows)):
+        zone = exclusion_zone(w, ez)
+        parts.append(f"""
+, stats_{w} AS (
+  SELECT conv_id, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd, n
+  FROM pos
+  WINDOW win AS (PARTITION BY conv_id ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+st_{w} AS (SELECT * FROM stats_{w}
+           WHERE i <= n - {w} AND n >= {2 * wmax} AND sd > 0),
+zt_{w} AS (
+  SELECT p.conv_id, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
+  FROM pos p JOIN st_{w} st ON p.conv_id = st.conv_id
+                            AND p.posn BETWEEN st.i AND st.i + {w - 1}
+)""")
+        unions.append(f"""
+SELECT conv_id, {w} AS w, i AS window_idx, round(sqrt(min(d2)), 6) AS mp
+FROM (
+  SELECT a.conv_id, a.i, b.i AS j, sum((a.z - b.z) * (a.z - b.z)) AS d2
+  FROM zt_{w} a JOIN zt_{w} b ON a.conv_id = b.conv_id AND a.k = b.k
+                              AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3
+) GROUP BY conv_id, i""")
+    parts.append("\nUNION ALL\n".join(unions))
+    return "\n".join(parts)
+
+
+def snippets_checked_sql(s_size: int, w: int, thr: float = 0.05,
+                         n_sel: int = 5) -> str:
+    """find_snippet (n_snippets=2) in pure SQL (round-3 verdict item 4),
+    gating ``snippet_checked_op``: zero-pad each selected conversation to a
+    multiple of s_size, build the full pairwise z-distance matrix of padded
+    windows (Inf at sd==0 windows on either side), then per candidate s and
+    out position o the MPdist value = k-th smallest of the candidate's
+    m_sub sliding row minima plus its m_sub column minima
+    (mpdist.R:143-182), rounded to 6dp; greedy pick 1 = min total area
+    (ties → smallest s), pick 2 = min area under elementwise min with pick
+    1; fractions via the reference's total_min−1 tie rule
+    (find-snippet.R:118-131). Selected convs = the ``n_sel`` SHORTEST with
+    n ≥ 4·s_size (keeps the O(p²) join tiny), matching the op's
+    selection."""
+    k = max(int(np.ceil(thr * 2 * s_size)), 1)
+    m1 = s_size - w + 1 - 1  # m_sub - 1 (inclusive BETWEEN bounds)
+    return _T + f"""
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, lens AS (SELECT conv_id, count(*) AS n FROM sig GROUP BY 1)
+, sel AS (
+  SELECT conv_id, n, CAST(ceil(n / {s_size}.0) * {s_size} AS BIGINT) AS npad
+  FROM lens WHERE n >= {4 * s_size} ORDER BY n, conv_id LIMIT {n_sel}
+),
+pos0 AS (
+  SELECT s.conv_id,
+         row_number() OVER (PARTITION BY s.conv_id ORDER BY s.turn_idx) - 1
+           AS posn,
+         s.text_len AS v
+  FROM sig s JOIN sel USING (conv_id)
+),
+padded AS (
+  SELECT conv_id, posn, v FROM pos0
+  UNION ALL
+  SELECT conv_id, unnest(generate_series(n, npad - 1)) AS posn, 0.0 AS v
+  FROM sel WHERE npad > n
+),
+stats AS (
+  SELECT conv_id, posn AS i,
+         avg(v) OVER win AS mu, stddev_pop(v) OVER win AS sd
+  FROM padded
+  WINDOW win AS (PARTITION BY conv_id ORDER BY posn
+                 ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+),
+wins AS (
+  SELECT st.conv_id, st.i, st.sd
+  FROM stats st JOIN sel USING (conv_id)
+  WHERE st.i <= sel.npad - {w}
+),
+zt AS (
+  SELECT p.conv_id, st.i, p.posn - st.i AS k, (p.v - st.mu) / st.sd AS z
+  FROM padded p
+  JOIN stats st ON p.conv_id = st.conv_id
+               AND p.posn BETWEEN st.i AND st.i + {w - 1}
+  JOIN sel ON st.conv_id = sel.conv_id
+  WHERE st.i <= sel.npad - {w} AND st.sd > 0
+),
+dd AS (
+  SELECT a.conv_id, a.i, b.i AS j,
+         sqrt(sum((a.z - b.z) * (a.z - b.z))) AS d
+  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
+  GROUP BY 1, 2, 3
+),
+alld AS (
+  SELECT wa.conv_id, wa.i, wb.i AS j,
+         CASE WHEN wa.sd > 0 AND wb.sd > 0 THEN dd.d
+              ELSE CAST('infinity' AS DOUBLE) END AS d
+  FROM wins wa JOIN wins wb USING (conv_id)
+  LEFT JOIN dd ON dd.conv_id = wa.conv_id AND dd.i = wa.i AND dd.j = wb.i
+),
+cand AS (
+  SELECT conv_id,
+         unnest(generate_series(0, npad - {s_size} - 1, {s_size})) AS s
+  FROM sel
+),
+outpos AS (
+  SELECT conv_id, unnest(generate_series(0, npad - {s_size})) AS o
+  FROM sel
+),
+left_min AS (
+  SELECT d.conv_id, c.s, d.i AS q, o.o, min(d.d) AS dmin
+  FROM alld d
+  JOIN cand c ON d.conv_id = c.conv_id AND d.i BETWEEN c.s AND c.s + {m1}
+  JOIN outpos o ON d.conv_id = o.conv_id AND d.j BETWEEN o.o AND o.o + {m1}
+  GROUP BY 1, 2, 3, 4
+),
+col_min AS (
+  SELECT d.conv_id, c.s, d.j, min(d.d) AS dmin
+  FROM alld d
+  JOIN cand c ON d.conv_id = c.conv_id AND d.i BETWEEN c.s AND c.s + {m1}
+  GROUP BY 1, 2, 3
+),
+right_min AS (
+  SELECT cm.conv_id, cm.s, o.o, cm.j, cm.dmin
+  FROM col_min cm
+  JOIN outpos o ON cm.conv_id = o.conv_id AND cm.j BETWEEN o.o AND o.o + {m1}
+),
+vals AS (
+  SELECT conv_id, s, o, dmin FROM left_min
+  UNION ALL
+  SELECT conv_id, s, o, dmin FROM right_min
+),
+m AS (
+  SELECT conv_id, s, o, round(dmin, 6) AS d
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, s, o
+                                     ORDER BY dmin) AS rn FROM vals)
+  WHERE rn = {k}
+),
+area1 AS (SELECT conv_id, s, sum(d) AS area FROM m GROUP BY 1, 2),
+pick1 AS (
+  SELECT conv_id, s AS s1 FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY area, s) AS rn
+    FROM area1) WHERE rn = 1
+),
+m1 AS (SELECT m.conv_id, m.o, m.d AS d1
+       FROM m JOIN pick1 ON m.conv_id = pick1.conv_id AND m.s = pick1.s1),
+area2 AS (
+  SELECT m.conv_id, m.s, sum(least(m.d, m1.d1)) AS area
+  FROM m
+  JOIN m1 ON m.conv_id = m1.conv_id AND m.o = m1.o
+  GROUP BY 1, 2
+),
+pick2 AS (
+  -- mirrors the kernel (and reference) argmin EXACTLY: the already-picked
+  -- candidate's area is forced to +Inf rather than excluded, so when EVERY
+  -- remaining area is +Inf (convs whose padded tail makes some out
+  -- positions Inf for all candidates) the argmin re-picks index 0 — the
+  -- same first-index tie rule numpy's argmin applies
+  SELECT conv_id, s AS s2 FROM (
+    SELECT a.conv_id, a.s,
+           row_number() OVER (
+             PARTITION BY a.conv_id
+             ORDER BY CASE WHEN a.s = p.s1
+                           THEN CAST('infinity' AS DOUBLE)
+                           ELSE a.area END, a.s) AS rn
+    FROM area2 a JOIN pick1 p USING (conv_id)) WHERE rn = 1
+),
+m2 AS (SELECT m.conv_id, m.o, m.d AS d2
+       FROM m JOIN pick2 ON m.conv_id = pick2.conv_id AND m.s = pick2.s2),
+jj AS (
+  SELECT m1.conv_id, m1.o, m1.d1, m2.d2, least(m1.d1, m2.d2) AS tmin
+  FROM m1 JOIN m2 ON m1.conv_id = m2.conv_id AND m1.o = m2.o
+),
+fr AS (
+  SELECT conv_id,
+         CAST(count(*) FILTER (WHERE d1 <= tmin) AS DOUBLE) / count(*)
+           AS frac1,
+         CAST(count(*) FILTER (WHERE d2 <=
+              CASE WHEN d1 <= tmin THEN tmin - 1 ELSE tmin END) AS DOUBLE)
+           / count(*) AS frac2
+  FROM jj GROUP BY 1
+)
+SELECT f.conv_id, 0 AS rank, p1.s1 AS snippet_idx, f.frac1 AS fraction
+FROM fr f JOIN pick1 p1 USING (conv_id)
+UNION ALL
+SELECT f.conv_id, 1, p2.s2, f.frac2
+FROM fr f JOIN pick2 p2 USING (conv_id)
+"""
+
+
 def ab_join_checked_sql(w: int) -> str:
     """AB similarity join in pure SQL: conversations with numeric id < 10
     pair as (2k, 2k+1); cross z-distance between the two convs' windows (no
@@ -860,24 +1070,36 @@ def q_embedding_dedup(sf_dir: str):
 
 def q_embedding_dedup_lsh(sf_dir: str):
     """Scale path (multi-table hyperplane LSH) on a deterministic planted
-    input: the driver embeddings plus jittered copies of every 10th vector —
-    the planted pairs are the expected output (recall asserted in pytest)."""
+    input: every ``vec_id % 10 == 0`` row gains a jittered copy
+    (``vec_id + 1_000_000``), planted INSIDE a ``map_batches`` with per-row
+    seeding — identical output under any partitioning and no driver-side
+    table pull (round-3 verdict item 6). The planted pairs are the expected
+    output (recall asserted in pytest)."""
     import ray
 
-    tbl = pa.concat_tables(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-        .select_columns(["vec_id", "embedding"]).iter_batches(batch_format="pyarrow"))
-    ids = tbl["vec_id"].to_numpy()
-    emb = np.stack([np.asarray(e, dtype=np.float64)
-                    for e in tbl["embedding"].to_pylist()])
-    rng = np.random.default_rng(11)
-    sel = np.arange(0, len(ids), 10)
-    dup = emb[sel] + rng.standard_normal((len(sel), emb.shape[1])) * 0.02
-    planted = pa.table({
-        "vec_id": pa.array(np.concatenate([ids, ids[sel] + 1_000_000]).astype(np.int64)),
-        "embedding": pa.array(list(np.concatenate([emb, dup]))),
-    })
-    return dd.embedding_dedup_lsh(ray.data.from_arrow(planted), threshold=0.95)
+    def plant(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        emb = np.stack([np.asarray(e, dtype=np.float64)
+                        for e in batch["embedding"].to_pylist()])
+        sel = np.flatnonzero(ids % 10 == 0)
+        if not len(sel):
+            return pa.table({"vec_id": pa.array(ids),
+                             "embedding": pa.array(list(emb))})
+        dup = np.stack([
+            emb[i] + np.random.default_rng(11 + int(ids[i]))
+            .standard_normal(emb.shape[1]) * 0.02
+            for i in sel])
+        return pa.table({
+            "vec_id": pa.array(np.concatenate([ids, ids[sel] + 1_000_000])),
+            "embedding": pa.array(list(np.concatenate([emb, dup]))),
+        })
+
+    ds = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+          .select_columns(["vec_id", "embedding"])
+          .map_batches(plant, batch_format="pyarrow"))
+    return dd.embedding_dedup_lsh(ds, threshold=0.95)
 
 
 def _query_vectors(sf_dir: str):
@@ -953,8 +1175,10 @@ def q_pmp(sf_dir: str):
 
 
 def q_valmod(sf_dir: str):
-    """Variable-length motif sweep (heap-pruned VALMOD) for EVERY
-    conversation, distributed per conv."""
+    """Variable-length motif sweep (VALMOD semantics; exact per-window
+    sweep — the measured-faster path, see valmod_op) for EVERY conversation,
+    distributed per conv. The heap-pruned lb=True path is oracle-gated by
+    ``valmod_checked``."""
     from ..stages.mining_stage import per_conv_stage, valmod_op
 
     packed = pack_series(transcripts_from_events(sf_dir))
@@ -1074,6 +1298,31 @@ def q_mstomp_checked(sf_dir: str):
         sel, mstomp_checked_op,
         {"w": CFG.window_size,
          "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
+def q_pmp_checked(sf_dir: str):
+    """Production pmp sweep tied to SQL: per-window oracle-order exact
+    profiles over windows [6, 8, 10, 12], mpx-per-window asserted in-op
+    with finiteness-mask agreement (10 smallest conv_ids)."""
+    from ..stages.mining_stage import per_conv_stage, pmp_checked_op
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(sel, pmp_checked_op,
+                          {"windows": [6, 8, 10, 12], "ez": CFG.ez})
+
+
+def q_snippets_checked(sf_dir: str):
+    """Production find_snippet tied to SQL: oracle-order MPdist-profile
+    greedy (rounded-before-selection, smallest-s ties, reference fraction
+    tie rule) asserted in-op; the 5 shortest convs with ≥ 4·s_size turns."""
+    from ..stages.mining_stage import per_conv_stage, snippet_checked_op
+
+    packed = (pack_series(transcripts_from_events(sf_dir))
+              .filter(expr="n_turns >= 64"))
+    sel = packed.sort(["n_turns", "conv_id"]).limit(5)
+    return per_conv_stage(sel, snippet_checked_op,
+                          {"s_size": 16, "w": 8})
 
 
 def q_dist_profile_checked(sf_dir: str):
@@ -1238,6 +1487,8 @@ QUERIES = {
     "mpdist_checked": q_mpdist_checked,
     "stompi_checked": q_stompi_checked,
     "ab_join_checked": q_ab_join_checked,
+    "pmp_checked": q_pmp_checked,
+    "snippets_checked": q_snippets_checked,
     "dist_profile": q_dist_profile,
     "mpdist_pairs": q_mpdist,
     "pmp": q_pmp,
@@ -1282,6 +1533,8 @@ ORACLES = {
                                    exclusion_zone(CFG.window_size, CFG.ez),
                                    min_n=4 * CFG.window_size),
     "ab_join_checked": ab_join_checked_sql(CFG.window_size),
+    "pmp_checked": pmp_checked_sql([6, 8, 10, 12], CFG.ez),
+    "snippets_checked": snippets_checked_sql(16, 8),
     "retention_1m": retention_sql(),
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_dedup": MINHASH_SQL,

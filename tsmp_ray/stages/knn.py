@@ -117,23 +117,23 @@ def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
             bucket_queries.setdefault(int(b), []).append(qi)
     bqref = ray.put((q, qids, bucket_queries))
 
-    class Bucketer:
-        def __init__(self):
-            self.cent = ray.get(cref)
+    def bucket_batch(batch: pa.Table) -> pa.Table:
+        # task pool (round-3 verdict item 5: the old actor pool was capped at
+        # 4 for no reason); the centroid matrix is a ray.put broadcast read
+        # zero-copy from plasma per batch — stage parallelism now scales with
+        # the session's CPUs like every other stateless stage
+        cent_m = ray.get(cref)
+        m = _normalize(_stack(batch["embedding"]))
+        assign = (m @ cent_m.T).argmax(axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(assign.astype(np.int64)),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_stack(batch["embedding"]))
-            assign = (m @ self.cent.T).argmax(axis=1)
-            return pa.table(
-                {
-                    "bucket": pa.array(assign.astype(np.int64)),
-                    "vec_id": batch["vec_id"],
-                    "embedding": batch["embedding"],
-                }
-            )
-
-    bucketed = ds_embeddings.map_batches(Bucketer, batch_format="pyarrow",
-                                         concurrency=(1, 4))
+    bucketed = ds_embeddings.map_batches(bucket_batch, batch_format="pyarrow")
 
     def probe(g: pd.DataFrame) -> pd.DataFrame:
         qm, qi_all, bq = ray.get(bqref)

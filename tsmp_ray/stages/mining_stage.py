@@ -46,6 +46,32 @@ def _auto_profile(series: np.ndarray, w: int, ez: float = DEFAULT_EZ):
     return mpx(series, w, ez=ez)
 
 
+def _assert_finiteness_agrees(oracle_fin: np.ndarray, prod: np.ndarray,
+                              what: str, conv_id,
+                              symmetric: bool = True) -> None:
+    """Gate hardening (round-3 ADVICE): the value asserts below compare only
+    where BOTH oracle and production are finite, so a kernel regression that
+    wrongly emits Inf/NaN at oracle-finite windows would pass vacuously
+    (np.allclose on an empty mask is True). Assert the masks themselves:
+    production must be finite wherever the oracle is (and, for the 1-D
+    kernels whose skip semantics are defined to match the oracle's sd==0
+    rule exactly, vice versa)."""
+    prod_fin = np.isfinite(prod[: len(oracle_fin)])
+    bad = oracle_fin & ~prod_fin
+    if bad.any():
+        raise AssertionError(
+            f"{what}: production kernel non-finite at {int(bad.sum())} "
+            f"oracle-finite window(s) on conv {conv_id} "
+            f"(first at {int(np.flatnonzero(bad)[0])})")
+    if symmetric:
+        bad = prod_fin & ~oracle_fin
+        if bad.any():
+            raise AssertionError(
+                f"{what}: production kernel finite at {int(bad.sum())} "
+                f"oracle-non-finite window(s) on conv {conv_id} "
+                f"(first at {int(np.flatnonzero(bad)[0])})")
+
+
 def _series(batch: pa.Table, row: int, sig: str) -> np.ndarray:
     return (batch[sig][row].values
             .to_numpy(zero_copy_only=False)
@@ -406,6 +432,8 @@ def profile_checked_op(conv_id, batch, r, *, w: int, zone: int,
     mp, ok = _oracle_order_mp(x, w, zone)
     prod = _auto_profile(x, w, ez)
     pm = prod.mp[: len(mp)]
+    _assert_finiteness_agrees(ok & np.isfinite(mp), pm,
+                              "profile_checked", conv_id)
     both = ok & np.isfinite(mp) & np.isfinite(pm)
     if not np.allclose(pm[both], mp[both], rtol=0.0, atol=atol):
         worst = float(np.abs(pm[both] - mp[both]).max())
@@ -493,8 +521,12 @@ _VALMOD_SCHEMA = pa.schema([
 
 def valmod_op(conv_id, batch, r, *, wmin: int, wmax: int,
               signal: str = "text_len"):
-    """Variable-length motif sweep per conversation with the VALMOD heap
-    lower-bound pruning (/root/reference/R/valmod.R:52-470)."""
+    """Variable-length motif sweep per conversation
+    (/root/reference/R/valmod.R:52-470). Uses the EXACT per-window sweep
+    (``lb=False`` — measured faster than the heap-pruned path at these
+    window counts, see the note in kernels/mining.py); the heap
+    lower-bound pruning itself (lb=True) is exercised and oracle-gated by
+    ``valmod_checked_op``."""
     from ..kernels.mining import valmod
 
     if conv_id is None:
@@ -718,6 +750,8 @@ def distprof_checked_op(conv_id, batch, r, *, w: int,
     d = np.sqrt(((z - z[0]) ** 2).sum(axis=1))
     d[~ok] = np.inf
     prod, _ = dist_profile(x, x[:w], method="v3")
+    _assert_finiteness_agrees(ok & np.isfinite(d), prod,
+                              "dist_profile_checked", conv_id)
     both = ok & np.isfinite(d) & np.isfinite(prod)
     if not np.allclose(prod[both], d[both], rtol=0.0, atol=atol):
         worst = float(np.abs(prod[both] - d[both]).max())
@@ -752,6 +786,8 @@ def stompi_checked_op(conv_id, batch, r, *, w: int, zone: int,
     sp.update(x[cut:])
     mp_s = sp.profile.mp
     mp_e, ok = _oracle_order_mp(x, w, zone)
+    _assert_finiteness_agrees(ok & np.isfinite(mp_e), mp_s,
+                              "stompi_checked", conv_id)
     both = ok & np.isfinite(mp_e) & np.isfinite(mp_s[: len(mp_e)])
     if not np.allclose(mp_s[: len(mp_e)][both], mp_e[both], rtol=0.0, atol=atol):
         worst = float(np.abs(mp_s[: len(mp_e)][both] - mp_e[both]).max())
@@ -798,6 +834,8 @@ def abjoin_checked_pair_op(id_a, xa, id_b, xb, *, w: int,
         d = np.sqrt(d2min)
         d[~oka] = np.inf
         prod = mpx(sa, w, query=sb)
+        _assert_finiteness_agrees(oka & np.isfinite(d), prod.mp,
+                                  "ab_join_checked", f"({ia}, {ib})")
         both = oka & np.isfinite(d) & np.isfinite(prod.mp[: len(d)])
         if not np.allclose(prod.mp[: len(d)][both], d[both], rtol=0.0, atol=atol):
             worst = float(np.abs(prod.mp[: len(d)][both] - d[both]).max())
@@ -928,6 +966,12 @@ def mstomp_checked_op(conv_id, batch, r, *, w: int, zone: int,
         avg[~okq] = np.inf
         mp_k = np.sqrt(avg.min(axis=1))
         prod = res.mp[k - 1]
+        # one-directional: the kernel may legitimately skip extra windows
+        # under its own multidim degeneracy rules, but must never be
+        # non-finite where the oracle found a finite k-of-d profile value
+        _assert_finiteness_agrees(np.isfinite(mp_k), prod,
+                                  f"mstomp_checked k={k}", conv_id,
+                                  symmetric=False)
         both = np.isfinite(mp_k) & np.isfinite(prod)
         if both.any() and not np.allclose(prod[both], mp_k[both], rtol=0.0, atol=atol):
             worst = float(np.abs(prod[both] - mp_k[both]).max())
@@ -992,6 +1036,8 @@ def valmod_checked_op(conv_id, batch, r, *, wmin: int, wmax: int,
         best[:p][upd] = scaled[upd]
         bw[:p][upd] = w
     prod = valmod(x, wmin, wmax, ez=ez, lb=True)
+    _assert_finiteness_agrees(np.isfinite(best), prod["mp"],
+                              "valmod_checked", conv_id, symmetric=False)
     both = np.isfinite(best) & np.isfinite(prod["mp"])
     if not np.allclose(prod["mp"][both], best[both], rtol=0.0,
                        atol=atol + 10.0 ** -round_dp):
@@ -1008,6 +1054,151 @@ def valmod_checked_op(conv_id, batch, r, *, wmin: int, wmax: int,
         "mp_norm": pa.array(best[idx]),
         "best_w": pa.array(bw[idx]),
     }, schema=_VALMOD_CHECKED_SCHEMA)
+
+
+_PMP_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("w", pa.int64()), ("window_idx", pa.int64()),
+    ("mp", pa.float64()),
+])
+
+
+def pmp_checked_op(conv_id, batch, r, *, windows, ez: float = DEFAULT_EZ,
+                   signal: str = "text_len", round_dp: int = 6,
+                   atol: float = 2e-5):
+    """Pan-matrix-profile tied to SQL (PMP_CHECKED_SQL — round-3 verdict
+    item 4): per window length the oracle-order exact profile; the
+    production ``pmp`` sweep (mpx per window,
+    /root/reference/R/pmp.R:166-211) asserted in-op per w — values within
+    ``atol`` AND finiteness masks equal — then the oracle-order values are
+    emitted so the DuckDB hash compare is ulp-immune."""
+    from ..config import exclusion_zone
+    from ..kernels.mining import pmp
+
+    if conv_id is None:
+        return _PMP_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * max(windows):
+        return None
+    res = pmp(x, windows=windows, ez=ez)
+    ws, idxs, mps = [], [], []
+    for w in sorted(res["pmp"]):
+        zone = exclusion_zone(w, ez)
+        mp_e, ok = _oracle_order_mp(x, w, zone)
+        prod = res["pmp"][w]
+        oracle_fin = ok & np.isfinite(mp_e)
+        _assert_finiteness_agrees(oracle_fin, prod,
+                                  f"pmp_checked w={w}", conv_id)
+        both = oracle_fin & np.isfinite(prod[: len(mp_e)])
+        if not np.allclose(prod[: len(mp_e)][both], mp_e[both],
+                           rtol=0.0, atol=atol):
+            worst = float(np.abs(prod[: len(mp_e)][both] - mp_e[both]).max())
+            raise AssertionError(
+                f"pmp kernel deviates from oracle-order profile at w={w} on "
+                f"conv {conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+        fin = np.flatnonzero(oracle_fin)
+        ws.append(np.full(len(fin), w, dtype=np.int64))
+        idxs.append(fin.astype(np.int64))
+        mps.append(np.round(mp_e[fin], round_dp))
+    tot = sum(len(a) for a in idxs)
+    if not tot:
+        return None
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(tot, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "w": pa.array(np.concatenate(ws)),
+        "window_idx": pa.array(np.concatenate(idxs)),
+        "mp": pa.array(np.concatenate(mps)),
+    }, schema=_PMP_CHECKED_SCHEMA)
+
+
+_SNIPPET_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("rank", pa.int64()),
+    ("snippet_idx", pa.int64()), ("fraction", pa.float64()),
+])
+
+
+def snippet_checked_op(conv_id, batch, r, *, s_size: int = 16, w: int = 8,
+                       thr: float = 0.05, signal: str = "text_len",
+                       round_dp: int = 6):
+    """find_snippet tied to SQL (SNIPPETS_CHECKED_SQL — round-3 verdict
+    item 4), n_snippets=2: the oracle-order MPdist profile matrix
+    ``M[s, i]`` is rebuilt from the exact z-distance matrix of the
+    zero-padded series (mpdist_vect semantics,
+    /root/reference/R/find-snippet.R:86-131 and mpdist.R:143-182: per-out-
+    position k-th smallest of the candidate's sliding row minima plus its
+    column minima, k = ceil(thr·2·s_size)), ROUNDED to ``round_dp`` before
+    the greedy area-minimizing selection (ties → smallest start, matching
+    SQL ORDER BY area, s); fractions use the reference's total_min−1 tie
+    rule. The production ``find_snippet`` (FFT mpdist_vect) is asserted
+    in-op: identical snippet indices, fractions within ties/out_len (a
+    position where both chosen rounded profiles tie exactly can flip sides
+    under FFT last-ulp noise — the bound is the tie count)."""
+    from ..kernels.mining import find_snippet
+
+    if conv_id is None:
+        return _SNIPPET_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 4 * s_size:
+        return None
+    pad = int(np.ceil(len(x) / s_size)) * s_size - len(x)
+    padded = np.concatenate([x, np.zeros(pad)])
+    z, ok = _z_windows(padded, w)
+    D = np.sqrt(((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2))
+    D[~ok] = np.inf
+    D[:, ~ok] = np.inf
+    m_sub = s_size - w + 1
+    starts = np.arange(0, len(padded) - s_size, s_size)
+    out_len = len(padded) - s_size + 1
+    k = max(int(np.ceil(thr * 2 * s_size)), 1)
+    M = np.empty((len(starts), out_len))
+    swv = np.lib.stride_tricks.sliding_window_view
+    for si, s in enumerate(starts):
+        block = D[s : s + m_sub]                      # (m_sub × p)
+        left = swv(block, m_sub, axis=1).min(axis=2)  # (m_sub × out_len)
+        right = swv(block.min(axis=0), m_sub)         # (out_len × m_sub)
+        vals = np.concatenate([left.T, right], axis=1)
+        M[si] = np.sort(vals, axis=1)[:, k - 1]
+    M = np.round(M, round_dp)
+
+    minis = np.full(out_len, np.inf)
+    order: list[int] = []
+    chosen = np.empty((2, out_len))
+    for n in range(2):
+        areas = np.minimum(M, minis).sum(axis=1)
+        areas[order] = np.inf
+        idx = int(np.argmin(areas))   # first min → smallest s on ties
+        order.append(idx)
+        minis = np.minimum(M[idx], minis)
+        chosen[n] = M[idx]
+    total_min = chosen.min(axis=0)
+    fracs = []
+    ties = int((chosen[0] == chosen[1]).sum())
+    for i in range(2):
+        a = chosen[i] <= total_min
+        fracs.append(float(a.sum() / out_len))
+        total_min = np.where(a, total_min - 1, total_min)
+
+    prod = find_snippet(x, s_size=s_size, n_snippets=2, w=w, thr=thr)
+    o_idx = [int(starts[i]) for i in order]
+    if list(prod["snippet_idx"]) != o_idx:
+        raise AssertionError(
+            f"find_snippet indices {prod['snippet_idx']} deviate from "
+            f"oracle-order selection {o_idx} on conv {conv_id}")
+    tol = ties / out_len + 1e-9
+    for pf, of in zip(prod["snippet_frac"], fracs):
+        if abs(pf - of) > tol:
+            raise AssertionError(
+                f"find_snippet fraction {pf} deviates from oracle-order "
+                f"{of} beyond tie tolerance {tol} on conv {conv_id}")
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(2, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "rank": pa.array(np.arange(2, dtype=np.int64)),
+        "snippet_idx": pa.array(np.asarray(o_idx, dtype=np.int64)),
+        "fraction": pa.array(np.asarray(fracs, dtype=np.float64)),
+    }, schema=_SNIPPET_CHECKED_SCHEMA)
 
 
 _MPDIST_CHECKED_SCHEMA = pa.schema([

@@ -138,32 +138,46 @@ def profile_batch(batch: pa.Table, window_size: int = 8, ez: float = DEFAULT_EZ,
                          algorithm=algorithm)(batch)
 
 
-def compute_profiles(ds_packed, cfg: EngineConfig):
-    """Packed series Dataset -> profile Dataset, salting long convs.
+#: convs at or below this turn count are BATCHED into shared tasks instead of
+#: one task each: a tiny conv's O(n²) kernel is microseconds, so per-task
+#: dispatch overhead would dominate at 10⁸⁺-conv scale (round-3 verdict
+#: item 7). 32 convs × 512² ≈ one mean-sized conv's work — tasks stay
+#: Zipf-balanced.
+TINY_TURNS = 512
+TINY_BATCH = 32
 
-    The Dataset pipeline handles every conv ≤ salt_turn_threshold through the
-    actor pool; longer convs are pulled (they are by construction FEW — the
-    skewed tail) and sharded over diagonals as Ray tasks.
+
+def compute_profiles(ds_packed, cfg: EngineConfig):
+    """Packed series Dataset -> profile Dataset, size-binned three ways:
+
+    - **tiny** (n ≤ ``TINY_TURNS``): ``TINY_BATCH`` convs per task — their
+      O(n²) kernels are too small to pay one task each at 10⁸-conv scale;
+    - **mid**: one conv per task (Zipf load balancing — the scheduler sees
+      real units of work);
+    - **big** (n > salt_turn_threshold): diagonal-sharded across tasks.
     """
     import ray
 
     pool = cfg.profile_concurrency or max(2, int(ray.cluster_resources().get("CPU", 8)))
-    # one materialization so the small/big split doesn't re-execute the
-    # upstream shuffle twice (at 100 TB this is the packed-series parquet
-    # checkpoint both consumers read back)
+    # one materialization so the size-binned split doesn't re-execute the
+    # upstream shuffle three times (at 100 TB this is the packed-series
+    # parquet checkpoint each consumer reads back)
     ds_packed = ds_packed.materialize()
-    small = ds_packed.filter(
-        expr=f"n_turns <= {cfg.salt_turn_threshold}"
+    kw = {"window_size": cfg.window_size, "ez": cfg.ez}
+    tiny = ds_packed.filter(expr=f"n_turns <= {TINY_TURNS}")
+    profiles_tiny = tiny.map_batches(
+        profile_batch, fn_kwargs=kw, batch_format="pyarrow",
+        batch_size=TINY_BATCH, num_cpus=1,
     )
-    profiles_small = small.map_batches(
-        profile_batch,
-        fn_kwargs={"window_size": cfg.window_size, "ez": cfg.ez},
-        batch_format="pyarrow",
+    mid = (ds_packed.filter(expr=f"n_turns > {TINY_TURNS}")
+           .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}"))
+    profiles_small = mid.map_batches(
+        profile_batch, fn_kwargs=kw, batch_format="pyarrow",
         # one conversation per task: conv sizes are Zipf-skewed, so per-row
         # dispatch gives the scheduler real load balancing
         batch_size=1,
         num_cpus=1,
-    )
+    ).union(profiles_tiny)
 
     # materialize the (tiny, by design) filtered tail before iterating its
     # block refs: iter_internal_ref_bundles on a lazy filter can observe

@@ -366,6 +366,15 @@ def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
         conv_ids = batch["conv_id"].to_pylist()
         for r, conv in enumerate(conv_ids):
             ts = batch["ts"][r].values.to_numpy().astype(np.int64, copy=False)
+            # PRECONDITION: packed ts is ascending (pack_series sorts by
+            # turn_idx, and the synthetic/event ts is monotone in turn_idx).
+            # The run-boundary bucketing below silently emits duplicate
+            # bucket rows on unsorted input, so assert it cheaply here
+            # rather than diverge from the order-robust groupby path.
+            if len(ts) > 1 and not (ts[1:] >= ts[:-1]).all():
+                raise ValueError(
+                    f"tiers_from_packed: non-ascending ts in conversation "
+                    f"{conv!r}; pack input must be sorted by ts within conv")
             for sig in SIGNAL_COLUMNS:
                 v = (batch[sig][r].values
                      .to_numpy(zero_copy_only=False)

@@ -133,6 +133,100 @@ def pack_series(ds):
     return ds.groupby("conv_id").map_groups(_pack, batch_format="pyarrow")
 
 
+def pack_series_arrow(ds):
+    """Arrow-native vectorized pack (round-3 verdict item 8): ONE global
+    ``sort(conv_id, turn_idx)`` replaces ``groupby.map_groups``, then each
+    sorted block packs ALL its conversations with ZERO per-group Python
+    calls — run boundaries via one vectorized comparison, list columns via
+    ``ListArray.from_arrays`` over offsets, ts_delta as one global diff
+    zeroed at group starts. A conversation can straddle block boundaries,
+    so each block's FIRST and LAST group are conservatively marked
+    fragments and merged in a second tiny ``groupby(conv_id)`` whose group
+    count is ≤ 2 per block (O(blocks), not O(convs)).
+
+    Same output rows as :func:`pack_series` (asserted value-identical in
+    tests); the difference is plan shape: map_groups costs one Python call
+    PER CONVERSATION (10⁸ convs → 10⁸ interpreter calls), this path costs
+    one per BLOCK plus the boundary merge. Both move the data once (sort ≈
+    groupby's internal sort)."""
+
+    def _pack_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.schema([
+            ("conv_id", pa.string()), ("n_turns", pa.int64()),
+            ("turn_idx", pa.list_(pa.int64())), ("ts", pa.list_(pa.int64())),
+            ("ts_delta", pa.list_(pa.float64())),
+            ("text_len", pa.list_(pa.float64())),
+            ("tool_call", pa.list_(pa.float64())),
+            ("_frag", pa.bool_()),
+        ])
+        if n == 0:
+            return empty.empty_table()
+        conv = batch["conv_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], conv[1:] != conv[:-1]]))
+        offsets = np.concatenate([starts, [n]]).astype(np.int32)
+        ts_np = batch["ts"].cast(pa.int64()).to_numpy()
+        delta = np.empty(n)
+        delta[0] = 0.0
+        if n > 1:
+            delta[1:] = np.diff(ts_np).astype(np.float64)
+        delta[starts] = 0.0
+        lens = np.diff(offsets).astype(np.int64)
+        la = pa.ListArray.from_arrays
+        off = pa.array(offsets)
+        ng = len(starts)
+        frag = np.zeros(ng, dtype=bool)
+        frag[0] = frag[-1] = True  # may continue in a neighboring block
+        return pa.table({
+            "conv_id": pa.array(conv[starts], pa.string()),
+            "n_turns": pa.array(lens),
+            "turn_idx": la(off, pa.array(
+                batch["turn_idx"].cast(pa.int64()).to_numpy())),
+            "ts": la(off, pa.array(ts_np)),
+            "ts_delta": la(off, pa.array(delta)),
+            "text_len": la(off, batch["text_len"].combine_chunks()
+                           if isinstance(batch["text_len"], pa.ChunkedArray)
+                           else batch["text_len"]),
+            "tool_call": la(off, batch["tool_call"].combine_chunks()
+                            if isinstance(batch["tool_call"], pa.ChunkedArray)
+                            else batch["tool_call"]),
+            "_frag": pa.array(frag),
+        })
+
+    def _merge_frag(g: pa.Table) -> pa.Table:
+        order = np.argsort([g["turn_idx"][i].values[0].as_py()
+                            for i in range(g.num_rows)])
+        cat = lambda col: np.concatenate(
+            [g[col][int(i)].values.to_numpy(zero_copy_only=False)
+             for i in order])
+        ts = cat("ts")
+        delta = np.empty(len(ts))
+        delta[0] = 0.0
+        if len(ts) > 1:
+            delta[1:] = np.diff(ts).astype(np.float64)
+        return pa.table({
+            "conv_id": pa.array([g["conv_id"][0].as_py()]),
+            "n_turns": pa.array([len(ts)], pa.int64()),
+            "turn_idx": pa.array([cat("turn_idx")]),
+            "ts": pa.array([ts]),
+            "ts_delta": pa.array([delta]),
+            "text_len": pa.array([cat("text_len")]),
+            "tool_call": pa.array([cat("tool_call")]),
+        })
+
+    if _needs_features(ds):
+        ds = ds.map_batches(add_turn_features, batch_format="pyarrow")
+    packed = (ds.sort(["conv_id", "turn_idx"])
+              .map_batches(_pack_block, batch_format="pyarrow")
+              .materialize())
+    whole = packed.filter(expr="_frag == False").drop_columns(["_frag"])
+    frags = (packed.filter(expr="_frag == True").drop_columns(["_frag"])
+             .groupby("conv_id").map_groups(_merge_frag,
+                                            batch_format="pyarrow"))
+    return whole.union(frags)
+
+
 def unpack_signals(ds_packed):
     """Packed rows -> the wide per-turn signal table (the inverse of
     ``pack_series``'s packing, minus nothing): a stateless vectorized explode,
