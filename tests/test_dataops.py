@@ -57,6 +57,25 @@ def test_minhash_lsh_dedup(ray_session):
     assert not any((a == 3 or b == 3) for a, b in got)  # unrelated text clean
 
 
+def test_minhash_verify_join_path_equals_broadcast(ray_session):
+    """_verify_jaccard's size gate: the salted two-pass hash-join plan (big
+    candidate-text side) must produce identical pairs to the default
+    broadcast-lookup plan (small side)."""
+    import ray
+    from tsmp_ray.stages import dedup as dd
+
+    ds = ray.data.from_arrow(docs_with_dups())
+    bc = dd.minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    dd._verify_jaccard.force_join = True
+    try:
+        jn = dd.minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
+    finally:
+        dd._verify_jaccard.force_join = False
+    key = lambda df: sorted(map(tuple, df[["doc_id", "dup_id", "jaccard"]]
+                                .to_numpy().tolist()))
+    assert key(bc) == key(jn)
+
+
 def test_n_parts_scales_with_input():
     """Salted-shuffle fanout derives from input size / cluster CPUs instead
     of the round-3 fixed 32 (verdict item 2): per-partition rows stay

@@ -381,17 +381,29 @@ def _attach_texts(pairs_ds, texts_ds, key_col: str, out_col: str,
     return both.groupby("part").map_groups(join_part, batch_format="pandas")
 
 
+#: candidate-text bytes below which verification broadcasts one id→text
+#: lookup instead of running the two salted join shuffles. Broadcasting a
+#: SMALL side is the blessed Ray pattern (one plasma object, zero-ish-copy
+#: reads, no all-to-all); the salted join is only needed when a dup-heavy
+#: corpus makes the candidate texts too big for one object.
+_BROADCAST_TEXT_BYTES = 256 * 1024 * 1024
+
+
 def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
-    """Distributed exact verification of candidate pairs, fully salted:
+    """Distributed exact verification of candidate pairs.
 
     1. the candidate-ID set (ints only — tiny) is reduced in the object
        store and used to prune the corpus down to candidate texts;
-    2. candidate pairs are hash-joined against the pruned texts TWICE
-       (doc_id side, then dup_id side) via :func:`_attach_texts` — a salted
-       co-group whose per-partition memory is bounded, replacing round-3's
-       single id→text plasma object;
-    3. each verify task computes exact string-shingle jaccard on rows that
-       already carry both texts.
+    2. the pruned texts reach the verify tasks by a SIZE-GATED plan:
+       ≤ ``_BROADCAST_TEXT_BYTES`` (the common case — candidates are the
+       near-dup subset, not the corpus) → ONE broadcast id→text object,
+       zero extra shuffles; larger → candidate pairs are hash-joined
+       against the texts twice (doc_id side, then dup_id side) via
+       :func:`_attach_texts`, a salted co-group whose per-partition memory
+       stays bounded however dup-heavy the corpus is;
+    3. each verify task computes exact string-shingle jaccard.
+    Both plans produce identical rows (the gate is exercised both ways in
+    tests via the ``force_join`` hook).
     """
     import pyarrow.compute as pc
     import ray
@@ -420,10 +432,45 @@ def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
         id_arr = ray.get(ids_ref)
         return batch.filter(pc.is_in(batch["doc_id"], value_set=id_arr))
 
-    # materialized once (bounded by the candidate count): BOTH join passes
-    # read it, and re-executing the corpus filter twice would double the read
+    # materialized once (bounded by the candidate count): the size gate and
+    # both consumers read it, instead of re-executing the corpus filter
     filtered = ds.select_columns(["doc_id", "text"]) \
         .map_batches(filt, batch_format="pyarrow").materialize()
+
+    if (filtered.size_bytes() or 0) <= _BROADCAST_TEXT_BYTES \
+            and not getattr(_verify_jaccard, "force_join", False):
+        # small side → broadcast join: one reduce builds the lookup IN THE
+        # OBJECT STORE (never on the driver), every verify task reads it
+        @ray.remote
+        def _text_lookup(*tbls) -> dict[int, str]:
+            d: dict[int, str] = {}
+            for t in tbls:
+                t = _as_table(t)
+                if t is None:
+                    continue
+                d.update(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+            return d
+
+        tref = _text_lookup.remote(
+            *[br for bu in filtered.iter_internal_ref_bundles()
+              for br in bu.block_refs])
+
+        def verify_bc(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return _PAIR_JACCARD_SCHEMA.empty_table()
+            lookup = ray.get(tref)  # zero-copy-ish plasma read per task
+            a = batch["doc_id"].to_numpy()
+            b = batch["dup_id"].to_numpy()
+            j = np.array([ngram_jaccard(lookup[int(x)], lookup[int(y)],
+                                        shingle_n)
+                          for x, y in zip(a, b)])
+            keep = j >= threshold
+            return pa.table({"doc_id": pa.array(a[keep].astype(np.int64)),
+                             "dup_id": pa.array(b[keep].astype(np.int64)),
+                             "jaccard": pa.array(j[keep])},
+                            schema=_PAIR_JACCARD_SCHEMA)
+
+        return cand.map_batches(verify_bc, batch_format="pyarrow")
 
     parts = _n_parts(2 * n_cand)
     sel = cand.select_columns(["doc_id", "dup_id"])

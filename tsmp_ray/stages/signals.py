@@ -148,7 +148,13 @@ def pack_series_arrow(ds):
     tests); the difference is plan shape: map_groups costs one Python call
     PER CONVERSATION (10⁸ convs → 10⁸ interpreter calls), this path costs
     one per BLOCK plus the boundary merge. Both move the data once (sort ≈
-    groupby's internal sort)."""
+    groupby's internal sort).
+
+    Measured (32 CPUs, min-of-2 warm, interleaved; BASELINE.md round 4):
+    few big convs (500 × ~5k turns) map_groups wins 8.3s vs 12.1s; many
+    small convs (150k × ~40 turns) THIS path wins 6.2s vs 13.3s warm /
+    99s cold — the cross-over is conversation COUNT, so a 10⁸-conv
+    deployment uses this plan (``GRAFT_PACK=arrow`` in bench)."""
 
     def _pack_block(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
