@@ -899,6 +899,17 @@ def q_signals(sf_dir: str):
     return _signals(sf_dir)
 
 
+def q_signals_packed_arrow(sf_dir: str):
+    """Arrow-native pack plan under the same SQL gate as `signals`:
+    ``pack_series_arrow`` (one global sort, zero per-group Python calls,
+    boundary-fragment merge — signals.py) then the stateless explode. Must
+    reproduce the per-turn signal table exactly, which pins BOTH the pack's
+    list construction and its ts_delta group-zeroing to the oracle."""
+    from ..stages.signals import pack_series_arrow, unpack_signals
+
+    return unpack_signals(pack_series_arrow(transcripts_from_events(sf_dir)))
+
+
 def _rollup(sf_dir: str, tier: str):
     sig = _signals(sf_dir)
     t1m = rollup_from_signals(sig, "1m")
@@ -1455,6 +1466,7 @@ def q_salient(sf_dir: str):
 QUERIES = {
     "transcripts": q_transcripts,
     "signals": q_signals,
+    "signals_packed_arrow": q_signals_packed_arrow,
     "rollup_1m": q_rollup_1m,
     "rollup_1h": q_rollup_1h,
     "rollup_1d": q_rollup_1d,
@@ -1507,6 +1519,7 @@ QUERIES = {
 ORACLES = {
     "transcripts": _T + " SELECT * FROM transcripts",
     "signals": SIGNALS_SQL,
+    "signals_packed_arrow": SIGNALS_SQL,
     "rollup_1m": rollup_sql("1m"),
     "rollup_1h": rollup_sql("1h"),
     "rollup_1d": rollup_sql("1d"),
