@@ -170,11 +170,16 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         batch_size=TINY_BATCH, num_cpus=1,
     )
     mid = (ds_packed.filter(expr=f"n_turns > {TINY_TURNS}")
-           .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}"))
+           .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}")
+           # one conversation per TASK, not merely per batch: a map task
+           # consumes a whole input block, and packed blocks hold several
+           # convs — ds.stats() showed one block with 4-5 near-threshold
+           # convs serializing into a 10.4s straggler task (>half the stage
+           # wall at 32 CPUs). Splitting to 1-row blocks (split-only, no
+           # shuffle) gives the scheduler real Zipf load balancing.
+           .repartition(target_num_rows_per_block=1))
     profiles_small = mid.map_batches(
         profile_batch, fn_kwargs=kw, batch_format="pyarrow",
-        # one conversation per task: conv sizes are Zipf-skewed, so per-row
-        # dispatch gives the scheduler real load balancing
         batch_size=1,
         num_cpus=1,
     ).union(profiles_tiny)
