@@ -145,6 +145,18 @@ def profile_batch(batch: pa.Table, window_size: int = 8, ez: float = DEFAULT_EZ,
 #: Zipf-balanced.
 TINY_TURNS = 512
 TINY_BATCH = 32
+import os as _os
+
+#: split mid-bin packed blocks to one conv per block before the profile map.
+#: Measured BOTH ways at 32 CPUs / sf0.1 (interleaved 3-rep A/B through the
+#: bench count() path): split min 19.7s with a 43.9s fat-tail outlier,
+#: no-split min 18.2s with tight variance — the 10.4s multi-conv straggler
+#: task the split removes was being backfilled by the other 31 slots, so the
+#: extra repartition pass + 8× task dispatch bought nothing here and added
+#: tail risk. Default OFF; flip via GRAFT_MID_SPLIT=1 when conv-size skew is
+#: extreme enough that one block's serial convs approach the stage wall
+#: (max task ≈ operator wall in ds.stats()).
+MID_ONE_ROW_BLOCKS = _os.environ.get("GRAFT_MID_SPLIT", "0") == "1"
 
 
 def compute_profiles(ds_packed, cfg: EngineConfig):
@@ -170,14 +182,15 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         batch_size=TINY_BATCH, num_cpus=1,
     )
     mid = (ds_packed.filter(expr=f"n_turns > {TINY_TURNS}")
-           .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}")
-           # one conversation per TASK, not merely per batch: a map task
-           # consumes a whole input block, and packed blocks hold several
-           # convs — ds.stats() showed one block with 4-5 near-threshold
-           # convs serializing into a 10.4s straggler task (>half the stage
-           # wall at 32 CPUs). Splitting to 1-row blocks (split-only, no
-           # shuffle) gives the scheduler real Zipf load balancing.
-           .repartition(target_num_rows_per_block=1))
+           .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}"))
+    if MID_ONE_ROW_BLOCKS:
+        # one conversation per TASK, not merely per batch: a map task
+        # consumes a whole input block, and packed blocks hold several
+        # convs — ds.stats() showed one block with 4-5 near-threshold
+        # convs serializing into a 10.4s straggler task (>half the stage
+        # wall at 32 CPUs). Splitting to 1-row blocks (split-only, no
+        # shuffle) gives the scheduler real Zipf load balancing.
+        mid = mid.repartition(target_num_rows_per_block=1)
     profiles_small = mid.map_batches(
         profile_batch, fn_kwargs=kw, batch_format="pyarrow",
         batch_size=1,
