@@ -84,6 +84,49 @@ def test_pack_series_arrow_equals_map_groups(ray_session):
                                           err_msg=col)
 
 
+def test_pack_series_arrow_adversarial_layouts(ray_session):
+    """Fragment-merge edge cases: one conversation spanning MANY blocks
+    (middle fragments are whole blocks), a block holding exactly one row,
+    single-turn conversations, and the empty input."""
+    import ray
+
+    from tsmp_ray.stages.signals import pack_series_arrow
+
+    rng = np.random.default_rng(11)
+    # conv A: 64 turns (will straddle many 4-row blocks); B/C: 1 turn each;
+    # D: 3 turns
+    sizes = {"convA": 64, "convB": 1, "convC": 1, "convD": 3}
+    conv, turn, ts = [], [], []
+    for cid, n in sizes.items():
+        conv += [cid] * n
+        turn += list(range(n))
+        base = 1_700_000_000_000_000 + hash(cid) % 1000
+        ts += [base + i * 7_000_000 for i in range(n)]
+    n = len(conv)
+    tbl = pa.table({
+        "conv_id": pa.array(conv),
+        "turn_idx": pa.array(turn, pa.int32()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "text_len": pa.array(rng.integers(1, 99, n).astype(np.float64)),
+        "tool_call": pa.array((rng.random(n) < 0.5).astype(np.float64)),
+    })
+    perm = rng.permutation(n)
+    shuffled = tbl.take(pa.array(perm))
+    a = (pack_series(ray.data.from_arrow(shuffled).repartition(17))
+         .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    b = (pack_series_arrow(ray.data.from_arrow(shuffled).repartition(17))
+         .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    assert list(b["conv_id"]) == sorted(sizes)
+    assert list(b["n_turns"]) == [sizes[c] for c in sorted(sizes)]
+    for col in ("turn_idx", "ts", "ts_delta", "text_len", "tool_call"):
+        for x, y in zip(a[col], b[col]):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y),
+                                          err_msg=col)
+    # empty input
+    empty = ray.data.from_arrow(tbl.slice(0, 0))
+    assert pack_series_arrow(empty).count() == 0
+
+
 def test_derive_signals_values(ray_session):
     import ray
 
