@@ -1135,6 +1135,25 @@ def q_knn_ivf(sf_dir: str):
     return knn_mod.ivf_topk(ds, qm, qids, k=10)
 
 
+def q_knn_ivf_checked(sf_dir: str):
+    """IVF with EXHAUSTIVE probing (nprobe = n_centroids) is exact — every
+    (query, vector) pair scored once through the full IVF plan (centroid
+    training, bucket groupby, per-bucket probe, rounded-rank merge) — so it
+    must equal brute force row-for-row and hence the same SQL oracle as
+    `knn_topk`. Asserted in-op before emitting."""
+    ds, qm, qids = _query_vectors(sf_dir)
+    ivf = (knn_mod.ivf_topk(ds, qm, qids, k=10, n_centroids=16, nprobe=16,
+                            round_dp=6)
+           .to_pandas().sort_values(["query_id", "rank"])
+           .reset_index(drop=True))
+    brute = (knn_mod.brute_force_topk(ds, qm, qids, k=10, round_dp=6)
+             .to_pandas().sort_values(["query_id", "rank"])
+             .reset_index(drop=True))
+    pd.testing.assert_frame_equal(ivf[brute.columns], brute,
+                                  check_dtype=False)
+    return ivf
+
+
 def q_profiles(sf_dir: str):
     packed = pack_series(transcripts_from_events(sf_dir))
     return compute_profiles(packed, CFG)
@@ -1486,6 +1505,7 @@ QUERIES = {
     "embedding_dedup_lsh": q_embedding_dedup_lsh,
     "knn_topk": q_knn_topk,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_checked": q_knn_ivf_checked,
     "profiles": q_profiles,
     "mining": q_mining,
     "fluss_segments": q_fluss_segments,
@@ -1555,4 +1575,6 @@ ORACLES = {
     "embedding_dedup": EMBED_DEDUP_SQL,
     "token_counts": TOKEN_COUNTS_SQL,
     "knn_topk": KNN_SQL,
+    # exhaustive-probe IVF is exact (see q_knn_ivf_checked) -> same oracle
+    "knn_ivf_checked": KNN_SQL,
 }

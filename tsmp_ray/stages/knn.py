@@ -100,9 +100,18 @@ def train_centroids(ds_embeddings, n_centroids: int = 16, iters: int = 8,
 
 
 def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
-             k: int = 10, n_centroids: int = 16, nprobe: int = 4):
+             k: int = 10, n_centroids: int = 16, nprobe: int = 4,
+             round_dp: int | None = None):
     """IVF approximate top-k: bucket by nearest centroid, probe the nprobe
-    closest buckets per query, exact cosine within probed buckets."""
+    closest buckets per query, exact cosine within probed buckets.
+
+    With ``nprobe >= n_centroids`` every (query, vector) pair is scored
+    exactly once, so the result is EXACT and equals :func:`brute_force_topk`
+    (each vector lives in exactly one bucket; same float64 dot products,
+    same rounded-rank (-cosine, vec_id) ordering when ``round_dp`` matches)
+    — the `knn_ivf_checked` driver query gates the full IVF machinery
+    (centroid training, bucket groupby, probe fan-out, merge) against the
+    brute-force SQL oracle this way."""
     import ray
 
     cent = train_centroids(ds_embeddings, n_centroids=n_centroids)
@@ -147,6 +156,8 @@ def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
                                  for e in g["embedding"]]))
         vec_ids = g["vec_id"].to_numpy()
         cos = qm[q_here] @ m.T
+        if round_dp is not None:
+            cos = np.round(cos, round_dp)
         kk = min(k, cos.shape[1])
         rows = []
         for r, qi in enumerate(q_here):
