@@ -292,6 +292,63 @@ WHERE m.rn = 1 AND disc.rn = 1
 """
 
 
+def fluss_cac_checked_sql(w: int, zone: int, ez: float) -> str:
+    """FLUSS corrected arc counts in pure SQL — gates
+    ``fluss_cac_checked_op``'s production CAC pipeline. Profile index =
+    rounded-argmin with smallest-j tie-break (the motifs_checked recipe);
+    arcs via a +1/-1 scatter at least/greatest(i, pi) and a windowed
+    cumsum; ideal = the beta(2,2) parabola ``6·x·(1-x)·p/3`` with
+    x = wi/(p-1) (identical float64 op order to the op's emit); first/last
+    ``round(w·ez·10)`` positions forced to 1."""
+    from ..config import EPS
+
+    zf = int(round(w * ez * 10 + EPS))
+    return _T + _windows_ctes(w, 2 * w) + f"""
+, d AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j,
+         round(sqrt(sum((a.z - b.z) * (a.z - b.z))), 6) AS dist
+  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
+                      AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3
+),
+pr AS (
+  SELECT conv_id, i, pi FROM (
+    SELECT conv_id, i, j AS pi,
+           row_number() OVER (PARTITION BY conv_id, i
+                              ORDER BY dist, j) AS rn
+    FROM d) WHERE rn = 1
+),
+plen AS (
+  SELECT conv_id, max(n) - {w} + 1 AS p
+  FROM pos WHERE conv_id IN (SELECT DISTINCT conv_id FROM st)
+  GROUP BY 1
+),
+posn AS (
+  SELECT conv_id, p, unnest(generate_series(0, CAST(p - 1 AS BIGINT))) AS wi
+  FROM plen
+),
+scat AS (
+  SELECT conv_id, v, sum(delta) AS delta FROM (
+    SELECT conv_id, least(i, pi) AS v, 1 AS delta FROM pr
+    UNION ALL
+    SELECT conv_id, greatest(i, pi) AS v, -1 AS delta FROM pr
+  ) GROUP BY 1, 2
+),
+arc AS (
+  SELECT q.conv_id, q.p, q.wi,
+         sum(COALESCE(s.delta, 0)) OVER (PARTITION BY q.conv_id
+                                         ORDER BY q.wi) AS arcs
+  FROM posn q LEFT JOIN scat s ON s.conv_id = q.conv_id AND s.v = q.wi
+)
+SELECT conv_id, wi AS window_idx,
+       round(CASE WHEN wi < {zf} OR wi >= p - {zf} THEN 1.0
+                  ELSE least(arcs / (6.0 * (wi / (p - 1.0)) *
+                       (1.0 - wi / (p - 1.0)) * p / 3.0), 1.0)
+             END, 6) AS cac
+FROM arc
+"""
+
+
 def mstomp_checked_sql(w: int, zone: int) -> str:
     """Multidimensional (3-signal) matrix profile in pure SQL: per-signal
     z-distance², k-of-3 average of the k smallest dims per (i, j) via
@@ -1286,6 +1343,22 @@ def q_motifs_checked(sf_dir: str):
          "zone": exclusion_zone(CFG.window_size, CFG.ez)})
 
 
+def q_fluss_cac_checked(sf_dir: str):
+    """Production fluss_cac (arc scatter + parabola correction + clamps)
+    tied to SQL on the same 10 convs: both sides select pi by rounded
+    argmin with smallest-j tie-break, the op asserts the production CAC
+    against the SQL-order arithmetic in-op and emits the oracle-order
+    values."""
+    from ..stages.mining_stage import fluss_cac_checked_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, fluss_cac_checked_op,
+        {"w": CFG.window_size, "ez": CFG.ez,
+         "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
 def q_mpdist_checked(sf_dir: str):
     """Production mpdist kernel tied to SQL: consecutive pairs among numeric
     conv ids < 10, oracle-order k-th-smallest asserted in-op."""
@@ -1517,6 +1590,7 @@ QUERIES = {
     "mstomp_checked": q_mstomp_checked,
     "valmod_checked": q_valmod_checked,
     "mpdist_checked": q_mpdist_checked,
+    "fluss_cac_checked": q_fluss_cac_checked,
     "stompi_checked": q_stompi_checked,
     "ab_join_checked": q_ab_join_checked,
     "pmp_checked": q_pmp_checked,
@@ -1560,6 +1634,8 @@ ORACLES = {
     "mstomp_checked": mstomp_checked_sql(
         CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
     "valmod_checked": valmod_checked_sql(6, 12, CFG.ez),
+    "fluss_cac_checked": fluss_cac_checked_sql(
+        CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez), CFG.ez),
     "mpdist_checked": mpdist_checked_sql(CFG.window_size),
     "fingerprints_checked": FINGERPRINTS_CHECKED_SQL,
     "stompi_checked": mp_exact_sql(CFG.window_size,

@@ -443,6 +443,106 @@ def profile_checked_op(conv_id, batch, r, *, w: int, zone: int,
     return _mp_exact_table(conv_id, mp, ok, round_dp)
 
 
+def _oracle_order_pi(x: np.ndarray, w: int, zone: int, round_dp: int = 6):
+    """Oracle-order profile INDEX: per window, the argmin over |i-j|>zone of
+    the 6dp-ROUNDED z-normalized distance, ties broken by smallest j — the
+    deterministic selection a SQL ``row_number() OVER (ORDER BY dist, j)``
+    reproduces (the motifs_checked recipe: round BEFORE selection, because
+    integer signals make exact distance ties common). sd==0 windows are
+    dropped on both sides; returns pi (-1 where no valid pair) of length
+    p = n - w + 1."""
+    win = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = win.mean(axis=1)
+    sd = win.std(axis=1)
+    ok = sd > 0
+    z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
+    p = len(win)
+    col_idx = np.arange(p)
+    pi = np.full(p, -1, dtype=np.int64)
+    blk_rows = p if p <= 2048 else 512
+    for lo in range(0, p, blk_rows):
+        hi = min(lo + blk_rows, p)
+        d2 = ((z[lo:hi, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+        band = np.abs(np.arange(lo, hi)[:, None] - col_idx[None, :]) <= zone
+        d2[band] = np.inf
+        d2[:, ~ok] = np.inf
+        dr = np.round(np.sqrt(d2), round_dp)
+        j = np.argmin(dr, axis=1)  # first minimum = smallest j tie-break
+        has = np.isfinite(dr[np.arange(hi - lo), j])
+        pi[lo:hi][has] = j[has]
+    pi[~ok] = -1
+    return pi, ok
+
+
+_FLUSS_CAC_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("window_idx", pa.int64()),
+    ("cac", pa.float64()),
+])
+
+
+def fluss_cac_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                         ez: float = DEFAULT_EZ, signal: str = "text_len",
+                         round_dp: int = 6, atol: float = 2e-5):
+    """PRODUCTION ``fluss_cac`` (arc scatter/cumsum, beta(2,2) ideal
+    parabola, clamps, edge-zone forcing — kernels/mining.py,
+    /root/reference/R/fluss.R:307-355) tied to SQL: both sides build the
+    profile index by the deterministic rounded-argmin selection
+    (:func:`_oracle_order_pi`), the op runs the production CAC on that pi,
+    asserts it equals the SQL-order arithmetic (linspace vs pos/(p-1)
+    division differ only in ulps) and emits the oracle-order values.
+
+    Scope: this gates the CAC pipeline; the pi VALUES themselves are gated
+    at distance level by ``profiles_checked`` (index ties under unrounded
+    production kernels are legitimately arbitrary, so the production mpx
+    pi cannot be hash-compared directly)."""
+    from ..config import EPS
+    from ..kernels.mining import fluss_cac
+    from ..kernels.profile_types import empty_profile
+
+    if conv_id is None:
+        return _FLUSS_CAC_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    pi_o, ok = _oracle_order_pi(x, w, zone, round_dp)
+    if not ok.any():
+        return None
+    p = len(pi_o)
+    # oracle-order CAC: mirror the SQL operations exactly
+    nnmark = np.zeros(p)
+    valid = pi_o >= 0
+    i_idx = np.flatnonzero(valid)
+    j_idx = pi_o[valid]
+    np.add.at(nnmark, np.minimum(i_idx, j_idx), 1.0)
+    np.add.at(nnmark, np.maximum(i_idx, j_idx), -1.0)
+    arc = np.cumsum(nnmark)
+    pos = np.arange(p, dtype=np.float64)
+    xs = pos / (p - 1) if p > 1 else np.zeros(1)
+    ideal = 6.0 * xs * (1.0 - xs) * p / 3.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.minimum(arc / ideal, 1.0)
+    cac[~np.isfinite(cac)] = 1.0
+    zf = int(round(w * ez * 10 + EPS))
+    cac[: min(zf, p)] = 1.0
+    cac[max(p - zf, 0):] = 1.0
+    # gate the production kernel on the same deterministic pi
+    prof = empty_profile(p, w, ez, algorithm="checked")
+    prof.pi = pi_o
+    prod = fluss_cac(prof)
+    if not np.allclose(prod, cac, rtol=0.0, atol=atol):
+        worst = float(np.abs(prod - cac).max())
+        raise AssertionError(
+            f"production fluss_cac deviates from oracle-order CAC on conv "
+            f"{conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(p, dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "window_idx": pa.array(np.arange(p, dtype=np.int64)),
+        "cac": pa.array(np.round(cac, round_dp)),
+    }, schema=_FLUSS_CAC_SCHEMA)
+
+
 _ANNOT_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("window_idx", pa.int64()), ("av", pa.float64()),
 ])
