@@ -349,6 +349,59 @@ FROM arc
 """
 
 
+def chains_checked_sql(w: int, zone: int) -> str:
+    """Time-series chains in pure SQL — gates ``chains_checked_op``'s
+    production find_chains walker. Directional indices by rounded argmin
+    with smallest-j tie-break; chain edges {src → rpi[src] iff
+    lpi[rpi[src]] = src} (in/out-degree ≤ 1 ⇒ simple paths); maximal
+    paths walked by a recursive CTE from the in-degree-0 heads; chains
+    longer than 2 emitted as integer member rows."""
+    base = _T.replace("WITH ", "WITH RECURSIVE ", 1)
+    return base + _windows_ctes(w, 2 * w) + f"""
+, d AS (
+  SELECT a.conv_id, a.i AS i, b.i AS j,
+         round(sqrt(sum((a.z - b.z) * (a.z - b.z))), 6) AS dist
+  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
+                      AND abs(a.i - b.i) > {zone}
+  GROUP BY 1, 2, 3
+),
+rp AS (
+  SELECT conv_id, i, rpi FROM (
+    SELECT conv_id, i, j AS rpi,
+           row_number() OVER (PARTITION BY conv_id, i
+                              ORDER BY dist, j) AS rn
+    FROM d WHERE j > i) WHERE rn = 1
+),
+lp AS (
+  SELECT conv_id, i, lpi FROM (
+    SELECT conv_id, i, j AS lpi,
+           row_number() OVER (PARTITION BY conv_id, i
+                              ORDER BY dist, j) AS rn
+    FROM d WHERE j < i) WHERE rn = 1
+),
+edges AS (
+  SELECT r.conv_id, r.i AS src, r.rpi AS dst
+  FROM rp r JOIN lp l ON l.conv_id = r.conv_id AND l.i = r.rpi
+  WHERE l.lpi = r.i
+),
+heads AS (
+  SELECT e.conv_id, e.src AS head FROM edges e
+  LEFT JOIN edges pr ON pr.conv_id = e.conv_id AND pr.dst = e.src
+  WHERE pr.src IS NULL
+),
+walk AS (
+  SELECT conv_id, head, head AS node, 0 AS seq FROM heads
+  UNION ALL
+  SELECT wk.conv_id, wk.head, e.dst, wk.seq + 1
+  FROM walk wk JOIN edges e ON e.conv_id = wk.conv_id AND e.src = wk.node
+),
+lens AS (SELECT conv_id, head, count(*) AS n_members FROM walk GROUP BY 1, 2)
+SELECT wk.conv_id, wk.head AS chain_start, wk.seq, wk.node AS window_idx
+FROM walk wk JOIN lens l2 ON l2.conv_id = wk.conv_id AND l2.head = wk.head
+WHERE l2.n_members > 2
+"""
+
+
 def mstomp_checked_sql(w: int, zone: int) -> str:
     """Multidimensional (3-signal) matrix profile in pure SQL: per-signal
     z-distance², k-of-3 average of the k smallest dims per (i, j) via
@@ -1359,6 +1412,21 @@ def q_fluss_cac_checked(sf_dir: str):
          "zone": exclusion_zone(CFG.window_size, CFG.ez)})
 
 
+def q_chains_checked(sf_dir: str):
+    """Production find_chains walker tied to SQL on the same 10 convs:
+    directional rounded-argmin indices, maximal-path chain set asserted
+    in-op, integer member rows hash-matched against a recursive-CTE
+    oracle."""
+    from ..stages.mining_stage import chains_checked_op, per_conv_stage
+
+    packed = pack_series(transcripts_from_events(sf_dir))
+    sel = packed.sort("conv_id").limit(10)
+    return per_conv_stage(
+        sel, chains_checked_op,
+        {"w": CFG.window_size, "ez": CFG.ez,
+         "zone": exclusion_zone(CFG.window_size, CFG.ez)})
+
+
 def q_mpdist_checked(sf_dir: str):
     """Production mpdist kernel tied to SQL: consecutive pairs among numeric
     conv ids < 10, oracle-order k-th-smallest asserted in-op."""
@@ -1591,6 +1659,7 @@ QUERIES = {
     "valmod_checked": q_valmod_checked,
     "mpdist_checked": q_mpdist_checked,
     "fluss_cac_checked": q_fluss_cac_checked,
+    "chains_checked": q_chains_checked,
     "stompi_checked": q_stompi_checked,
     "ab_join_checked": q_ab_join_checked,
     "pmp_checked": q_pmp_checked,
@@ -1636,6 +1705,8 @@ ORACLES = {
     "valmod_checked": valmod_checked_sql(6, 12, CFG.ez),
     "fluss_cac_checked": fluss_cac_checked_sql(
         CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez), CFG.ez),
+    "chains_checked": chains_checked_sql(
+        CFG.window_size, exclusion_zone(CFG.window_size, CFG.ez)),
     "mpdist_checked": mpdist_checked_sql(CFG.window_size),
     "fingerprints_checked": FINGERPRINTS_CHECKED_SQL,
     "stompi_checked": mp_exact_sql(CFG.window_size,

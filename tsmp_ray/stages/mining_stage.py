@@ -474,6 +474,113 @@ def _oracle_order_pi(x: np.ndarray, w: int, zone: int, round_dp: int = 6):
     return pi, ok
 
 
+def _oracle_order_dir(x: np.ndarray, w: int, zone: int, round_dp: int = 6):
+    """Oracle-order DIRECTIONAL profile indices: per window i, the
+    rounded-argmin (smallest-j tie-break) over the left candidates
+    (j < i - zone) and the right candidates (j > i + zone) separately —
+    the deterministic selection a SQL row_number reproduces. Returns
+    (lpi, rpi, rmp_rounded): -1 / inf where a side has no valid candidate;
+    sd==0 windows dropped on both sides."""
+    win = np.lib.stride_tricks.sliding_window_view(x, w)
+    mu = win.mean(axis=1)
+    sd = win.std(axis=1)
+    ok = sd > 0
+    z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
+    p = len(win)
+    col_idx = np.arange(p)
+    lpi = np.full(p, -1, dtype=np.int64)
+    rpi = np.full(p, -1, dtype=np.int64)
+    rmp = np.full(p, np.inf)
+    blk_rows = p if p <= 2048 else 512
+    for lo in range(0, p, blk_rows):
+        hi = min(lo + blk_rows, p)
+        d2 = ((z[lo:hi, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+        rows = np.arange(lo, hi)[:, None]
+        d2[np.abs(rows - col_idx[None, :]) <= zone] = np.inf
+        d2[:, ~ok] = np.inf
+        dr = np.round(np.sqrt(d2), round_dp)
+        left = np.where(col_idx[None, :] < rows, dr, np.inf)
+        right = np.where(col_idx[None, :] > rows, dr, np.inf)
+        r = np.arange(hi - lo)
+        jl = np.argmin(left, axis=1)
+        hasl = np.isfinite(left[r, jl])
+        lpi[lo:hi][hasl] = jl[hasl]
+        jr = np.argmin(right, axis=1)
+        hasr = np.isfinite(right[r, jr])
+        rpi[lo:hi][hasr] = jr[hasr]
+        rmp[lo:hi][hasr] = right[r, jr][hasr]
+    lpi[~ok] = -1
+    rpi[~ok] = -1
+    rmp[~ok] = np.inf
+    return lpi, rpi, rmp
+
+
+_CHAINS_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("chain_start", pa.int64()),
+    ("seq", pa.int64()), ("window_idx", pa.int64()),
+])
+
+
+def chains_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                      ez: float = DEFAULT_EZ, signal: str = "text_len",
+                      round_dp: int = 6):
+    """PRODUCTION ``find_chains`` (rpi-walk with lpi back-link check,
+    /root/reference/R/find-chains.R:18-77) tied to SQL: both sides build
+    directional indices by the deterministic rounded-argmin selection
+    (:func:`_oracle_order_dir`); the op derives the chain set independently
+    as the maximal paths of the edge relation {j → rpi[j] iff
+    lpi[rpi[j]] == j} (in/out-degree ≤ 1 ⇒ simple paths), ASSERTS the
+    production walker returns exactly those chains, and emits the
+    integer-only member rows (chains longer than 2) that a recursive-CTE
+    SQL oracle reproduces."""
+    from ..kernels.mining import find_chains
+    from ..kernels.profile_types import empty_profile
+
+    if conv_id is None:
+        return _CHAINS_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    lpi, rpi, rmp = _oracle_order_dir(x, w, zone, round_dp)
+    p = len(lpi)
+    # oracle chain set: maximal paths of the edge relation
+    src = np.flatnonzero((rpi >= 0) & (rpi < p))
+    src = src[lpi[rpi[src]] == src]
+    dst = rpi[src]
+    nxt = {int(s): int(d) for s, d in zip(src, dst)}
+    has_in = set(nxt.values())
+    chains_o = []
+    for head in sorted(nxt):
+        if head in has_in:
+            continue
+        chain = [head]
+        while chain[-1] in nxt:
+            chain.append(nxt[chain[-1]])
+        if len(chain) > 2:
+            chains_o.append(chain)
+    # production walker on the same directional profile
+    prof = empty_profile(p, w, ez, directional=True, algorithm="checked")
+    prof.lpi, prof.rpi, prof.rmp = lpi, rpi, rmp
+    got = find_chains(prof)["chains"]
+    if [list(map(int, c)) for c in got] != chains_o:
+        raise AssertionError(
+            f"production find_chains deviates from the oracle-order maximal "
+            f"paths on conv {conv_id}: {got} != {chains_o}")
+    if not chains_o:
+        return None
+    heads = np.concatenate([[c[0]] * len(c) for c in chains_o])
+    seqs = np.concatenate([np.arange(len(c)) for c in chains_o])
+    nodes = np.concatenate(chains_o)
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(nodes), dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "chain_start": pa.array(heads.astype(np.int64)),
+        "seq": pa.array(seqs.astype(np.int64)),
+        "window_idx": pa.array(nodes.astype(np.int64)),
+    }, schema=_CHAINS_CHECKED_SCHEMA)
+
+
 _FLUSS_CAC_SCHEMA = pa.schema([
     ("conv_id", pa.string()), ("window_idx", pa.int64()),
     ("cac", pa.float64()),
