@@ -66,11 +66,7 @@ def test_minhash_verify_join_path_equals_broadcast(ray_session):
 
     ds = ray.data.from_arrow(docs_with_dups())
     bc = dd.minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
-    dd._verify_jaccard.force_join = True
-    try:
-        jn = dd.minhash_lsh_dedup(ds, threshold=0.5).to_pandas()
-    finally:
-        dd._verify_jaccard.force_join = False
+    jn = dd.minhash_lsh_dedup(ds, threshold=0.5, force_join=True).to_pandas()
     key = lambda df: sorted(map(tuple, df[["doc_id", "dup_id", "jaccard"]]
                                 .to_numpy().tolist()))
     assert key(bc) == key(jn)

@@ -273,7 +273,8 @@ def minhash_signatures(batch: pa.Table, num_perm: int = 64, shingle_n: int = 3,
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.7, shingle_n: int = 3):
+                      threshold: float = 0.7, shingle_n: int = 3,
+                      force_join: bool = False):
     """MinHash+LSH near-duplicate detection, fully distributed.
 
     Returns a Dataset of verified duplicate pairs
@@ -315,7 +316,8 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
 
     band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow")
     cand = _bucket_pairs(band_ds, ["band", "bhash"]).materialize()
-    return _verify_jaccard(ds, cand, threshold, shingle_n)
+    return _verify_jaccard(ds, cand, threshold, shingle_n,
+                           force_join=force_join)
 
 
 _PAIR_JACCARD_SCHEMA = pa.schema([
@@ -389,7 +391,8 @@ def _attach_texts(pairs_ds, texts_ds, key_col: str, out_col: str,
 _BROADCAST_TEXT_BYTES = 256 * 1024 * 1024
 
 
-def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
+def _verify_jaccard(ds, cand, threshold: float, shingle_n: int,
+                    force_join: bool = False):
     """Distributed exact verification of candidate pairs.
 
     1. the candidate-ID set (ints only — tiny) is reduced in the object
@@ -403,7 +406,9 @@ def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
        stays bounded however dup-heavy the corpus is;
     3. each verify task computes exact string-shingle jaccard.
     Both plans produce identical rows (the gate is exercised both ways in
-    tests via the ``force_join`` hook).
+    tests via the explicit ``force_join`` keyword, threaded from
+    :func:`minhash_lsh_dedup` — an argument, not process-global state, so
+    concurrent callers can't observe a test's plan override).
     """
     import pyarrow.compute as pc
     import ray
@@ -438,7 +443,7 @@ def _verify_jaccard(ds, cand, threshold: float, shingle_n: int):
         .map_batches(filt, batch_format="pyarrow").materialize()
 
     if (filtered.size_bytes() or 0) <= _BROADCAST_TEXT_BYTES \
-            and not getattr(_verify_jaccard, "force_join", False):
+            and not force_join:
         # small side → broadcast join: one reduce builds the lookup IN THE
         # OBJECT STORE (never on the driver), every verify task reads it
         @ray.remote
@@ -746,7 +751,9 @@ _EMB_PAIR_SCHEMA = pa.schema([
 
 
 def _stack_norm(col) -> np.ndarray:
-    m = np.stack([np.asarray(e, dtype=np.float64) for e in col.to_pylist()])
+    from .knn import _stack  # vectorized list_flatten + reshape densify
+
+    m = _stack(col)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return m / norms

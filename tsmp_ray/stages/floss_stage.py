@@ -107,8 +107,12 @@ class FlossActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids, segs, nseg = [], [], []
+        sig = batch[self.signal].combine_chunks()
         for r in range(batch.num_rows):
-            x = np.asarray(batch[self.signal][r].as_py(), dtype=np.float64)
+            # zero-copy slice of the Arrow list values, no Python-list
+            # round-trip (round-4 verdict item 3)
+            x = sig.slice(r, 1).flatten().to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=False)
             st = FlossState(self.w, self.data_window, threshold=self.threshold)
             st.append(x, chunk=self.chunk)
             conv_ids.append(batch["conv_id"][r].as_py())
@@ -124,7 +128,12 @@ class FlossActor:
 
 
 def floss_over_dataset(ds_packed, **kwargs):
+    import ray
+
+    # autoscaling ceiling tracks the session (floor 1: a fixed pool equal to
+    # session CPUs deadlocks small sessions — CLAUDE.md invariant)
+    cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
     return ds_packed.map_batches(
         FlossActor, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=16, concurrency=(1, 4),
+        batch_format="pyarrow", batch_size=16, concurrency=(1, cpus),
     )

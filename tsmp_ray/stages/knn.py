@@ -6,9 +6,11 @@
   final exact merge is over #batches × k rows, not the full table.
 
 - ``ivf_topk``: the scale path — coarse quantizer (k-means-ish centroids
-  trained on a sample), vectors bucketed by nearest centroid (``groupby``),
-  queries probe only the ``nprobe`` nearest buckets. Approximate; recall
-  measured against brute force in tests.
+  trained on a sample), each batch assigns its vectors to their nearest
+  centroid and scores them against only the queries probing that bucket.
+  Bucketing is a per-batch pruning MASK, not a shuffle: no stage ever
+  groups by the (few-valued) bucket key, so no group grows with corpus
+  size. Approximate; recall measured against brute force in tests.
 """
 
 from __future__ import annotations
@@ -16,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -25,7 +28,15 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _stack(col) -> np.ndarray:
-    return np.stack([np.asarray(e, dtype=np.float64) for e in col.to_pylist()])
+    """Densify an Arrow ``list<float>`` column to (n, d) float64 with one
+    vectorized flatten + reshape — no per-row Python (fixed-dim embeddings
+    only; ragged input would be a data bug, asserted below)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    assert n > 0 and flat.size % n == 0, "ragged embedding column"
+    return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 
 def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
@@ -102,72 +113,78 @@ def train_centroids(ds_embeddings, n_centroids: int = 16, iters: int = 8,
 def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
              k: int = 10, n_centroids: int = 16, nprobe: int = 4,
              round_dp: int | None = None):
-    """IVF approximate top-k: bucket by nearest centroid, probe the nprobe
-    closest buckets per query, exact cosine within probed buckets.
+    """IVF approximate top-k: each vector belongs to its nearest-centroid
+    bucket; a (query, vector) pair is scored iff the vector's bucket is one
+    of the query's ``nprobe`` nearest buckets; exact cosine within scored
+    pairs.
+
+    Scale shape (round-4 verdict item 2): there is NO bucket shuffle.
+    Round-3/4's plan grouped the whole corpus by a 16-value bucket key —
+    one group held 1/16 of every embedding in a single pandas call at any
+    corpus size. Bucket membership is instead applied inside ONE
+    ``map_batches`` pass as a pruning mask: per batch, assign vectors to
+    centroids (one matmul), then for each bucket PRESENT IN THE BATCH score
+    its sub-matrix against only the queries probing that bucket and emit
+    k-sized per-(batch, query) partials. Work per task is bounded by
+    ``batch_size``; the only shuffle left is the per-query merge of k-sized
+    partials (the same ``final_merge`` as the brute path). A persistent
+    100-TB IVF index would instead pay the bucket shuffle ONCE at index
+    build (write bucket-partitioned parquet) and serve reads from probed
+    partitions only — this one-shot query path never needs it.
 
     With ``nprobe >= n_centroids`` every (query, vector) pair is scored
     exactly once, so the result is EXACT and equals :func:`brute_force_topk`
     (each vector lives in exactly one bucket; same float64 dot products,
     same rounded-rank (-cosine, vec_id) ordering when ``round_dp`` matches)
     — the `knn_ivf_checked` driver query gates the full IVF machinery
-    (centroid training, bucket groupby, probe fan-out, merge) against the
-    brute-force SQL oracle this way."""
+    (centroid training, per-batch bucket assignment, probe fan-out, merge)
+    against the brute-force SQL oracle this way."""
     import ray
 
     cent = train_centroids(ds_embeddings, n_centroids=n_centroids)
-    cref = ray.put(cent)
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     qids = np.asarray(query_ids)
     probes = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq × nprobe)
-    # per bucket, which queries probe it
-    bucket_queries: dict[int, list[int]] = {}
-    for qi, bs in enumerate(probes):
-        for b in bs:
-            bucket_queries.setdefault(int(b), []).append(qi)
-    bqref = ray.put((q, qids, bucket_queries))
+    # (nq × n_centroids) bool: does query qi probe bucket b?
+    mask = np.zeros((len(q), len(cent)), dtype=bool)
+    mask[np.arange(len(q))[:, None], probes] = True
+    bqref = ray.put((cent, q, qids, mask))
 
-    def bucket_batch(batch: pa.Table) -> pa.Table:
-        # task pool (round-3 verdict item 5: the old actor pool was capped at
-        # 4 for no reason); the centroid matrix is a ray.put broadcast read
-        # zero-copy from plasma per batch — stage parallelism now scales with
-        # the session's CPUs like every other stateless stage
-        cent_m = ray.get(cref)
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        cent_m, qm, qi_all, pmask = ray.get(bqref)  # plasma broadcast read
         m = _normalize(_stack(batch["embedding"]))
+        vec_ids = batch["vec_id"].to_numpy()
         assign = (m @ cent_m.T).argmax(axis=1)
+        out_q, out_v, out_c = [], [], []
+        for b in np.unique(assign):
+            q_here = np.flatnonzero(pmask[:, b])
+            if not len(q_here):
+                continue
+            sel = assign == b
+            mb, vb = m[sel], vec_ids[sel]
+            cos = qm[q_here] @ mb.T
+            if round_dp is not None:
+                cos = np.round(cos, round_dp)
+            kk = min(k, cos.shape[1])
+            for r, qi in enumerate(q_here):
+                order = np.lexsort((vb, -cos[r]))[:kk]
+                out_q.append(np.full(kk, qi_all[qi]))
+                out_v.append(vb[order])
+                out_c.append(cos[r][order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         return pa.table(
             {
-                "bucket": pa.array(assign.astype(np.int64)),
-                "vec_id": batch["vec_id"],
-                "embedding": batch["embedding"],
+                "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+                "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+                "cosine": pa.array(np.concatenate(out_c)),
             }
         )
 
-    bucketed = ds_embeddings.map_batches(bucket_batch, batch_format="pyarrow")
-
-    def probe(g: pd.DataFrame) -> pd.DataFrame:
-        qm, qi_all, bq = ray.get(bqref)
-        b = int(g["bucket"].iloc[0])
-        q_here = bq.get(b, [])
-        if not q_here:
-            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                 "vec_id": pd.Series([], dtype=np.int64),
-                                 "cosine": pd.Series([], dtype=np.float64)})
-        m = _normalize(np.stack([np.asarray(e, dtype=np.float64)
-                                 for e in g["embedding"]]))
-        vec_ids = g["vec_id"].to_numpy()
-        cos = qm[q_here] @ m.T
-        if round_dp is not None:
-            cos = np.round(cos, round_dp)
-        kk = min(k, cos.shape[1])
-        rows = []
-        for r, qi in enumerate(q_here):
-            order = np.lexsort((vec_ids, -cos[r]))[:kk]
-            rows.append(pd.DataFrame({"query_id": qi_all[qi],
-                                      "vec_id": vec_ids[order],
-                                      "cosine": cos[r][order]}))
-        return pd.concat(rows, ignore_index=True)
-
-    partials = bucketed.groupby("bucket").map_groups(probe, batch_format="pandas")
+    partials = ds_embeddings.map_batches(probe_batch, batch_format="pyarrow",
+                                         batch_size=4096)
 
     def final_merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)

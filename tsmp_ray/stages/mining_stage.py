@@ -587,6 +587,30 @@ _FLUSS_CAC_SCHEMA = pa.schema([
 ])
 
 
+def _oracle_cac(pi_o: np.ndarray, zf: int) -> np.ndarray:
+    """Oracle-order corrected arc counts: mirror the SQL operations exactly
+    (arc scatter/cumsum, beta(2,2) ideal with x = pos/(p-1), clamp, force
+    the first/last ``zf`` positions to 1). Shared by the CAC and segment
+    checked ops so both emit bitwise-identical values to their oracles."""
+    p = len(pi_o)
+    nnmark = np.zeros(p)
+    valid = pi_o >= 0
+    i_idx = np.flatnonzero(valid)
+    j_idx = pi_o[valid]
+    np.add.at(nnmark, np.minimum(i_idx, j_idx), 1.0)
+    np.add.at(nnmark, np.maximum(i_idx, j_idx), -1.0)
+    arc = np.cumsum(nnmark)
+    pos = np.arange(p, dtype=np.float64)
+    xs = pos / (p - 1) if p > 1 else np.zeros(1)
+    ideal = 6.0 * xs * (1.0 - xs) * p / 3.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cac = np.minimum(arc / ideal, 1.0)
+    cac[~np.isfinite(cac)] = 1.0
+    cac[: min(zf, p)] = 1.0
+    cac[max(p - zf, 0):] = 1.0
+    return cac
+
+
 def fluss_cac_checked_op(conv_id, batch, r, *, w: int, zone: int,
                          ez: float = DEFAULT_EZ, signal: str = "text_len",
                          round_dp: int = 6, atol: float = 2e-5):
@@ -615,23 +639,8 @@ def fluss_cac_checked_op(conv_id, batch, r, *, w: int, zone: int,
     if not ok.any():
         return None
     p = len(pi_o)
-    # oracle-order CAC: mirror the SQL operations exactly
-    nnmark = np.zeros(p)
-    valid = pi_o >= 0
-    i_idx = np.flatnonzero(valid)
-    j_idx = pi_o[valid]
-    np.add.at(nnmark, np.minimum(i_idx, j_idx), 1.0)
-    np.add.at(nnmark, np.maximum(i_idx, j_idx), -1.0)
-    arc = np.cumsum(nnmark)
-    pos = np.arange(p, dtype=np.float64)
-    xs = pos / (p - 1) if p > 1 else np.zeros(1)
-    ideal = 6.0 * xs * (1.0 - xs) * p / 3.0
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cac = np.minimum(arc / ideal, 1.0)
-    cac[~np.isfinite(cac)] = 1.0
     zf = int(round(w * ez * 10 + EPS))
-    cac[: min(zf, p)] = 1.0
-    cac[max(p - zf, 0):] = 1.0
+    cac = _oracle_cac(pi_o, zf)
     # gate the production kernel on the same deterministic pi
     prof = empty_profile(p, w, ez, algorithm="checked")
     prof.pi = pi_o
@@ -648,6 +657,72 @@ def fluss_cac_checked_op(conv_id, batch, r, *, w: int, zone: int,
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "cac": pa.array(np.round(cac, round_dp)),
     }, schema=_FLUSS_CAC_SCHEMA)
+
+
+_FLUSS_SEG_CHECKED_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("seg_rank", pa.int64()),
+    ("window_idx", pa.int64()),
+])
+
+
+def fluss_segments_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                              ez_factor: float = 1.0, num_segments: int = 3,
+                              signal: str = "text_len", round_dp: int = 6,
+                              atol: float = 2e-5):
+    """PRODUCTION ``fluss_extract`` (iterative argmin + ±zone·suppression,
+    stop at cac ≥ 1 — /root/reference/R/fluss.R:254-282) tied to SQL.
+
+    Both sides build the CAC deterministically (rounded-argmin pi, the
+    :func:`_oracle_cac` arithmetic, values rounded to ``round_dp`` BEFORE
+    extraction — argmin on unrounded floats would make selection ties
+    fold-order-dependent); the op asserts the production ``fluss_cac``
+    against the oracle-order CAC, then runs the production ``fluss_extract``
+    loop on the rounded oracle CAC and emits its segments as INTEGER-only
+    (conv_id, seg_rank, window_idx) rows. The SQL oracle reproduces the
+    loop as ``num_segments`` chained argmin levels, each excluding
+    [prev − zone, prev + zone) of every earlier pick (the reference's
+    asymmetric 1-based mask) and emitting only while min(cac) < 1.
+
+    ``ez_factor`` (edge-forcing AND suppression zone = round(w·ez_factor))
+    defaults to 1.0 — the reference default 10·ez = 5 forces the whole CAC
+    to 1 on sf0.01-sized convs (p ≈ 60 < 2·zone = 80), which would gate
+    nothing."""
+    from ..config import EPS
+    from ..kernels.mining import fluss_cac, fluss_extract
+    from ..kernels.profile_types import empty_profile
+
+    if conv_id is None:
+        return _FLUSS_SEG_CHECKED_SCHEMA.empty_table()
+    x = _series(batch, r, signal)
+    if len(x) < 2 * w:
+        return None
+    pi_o, ok = _oracle_order_pi(x, w, zone, round_dp)
+    if not ok.any():
+        return None
+    p = len(pi_o)
+    zf = int(round(w * ez_factor + EPS))
+    cac = _oracle_cac(pi_o, zf)
+    # gate the production CAC kernel on the same deterministic pi
+    prof = empty_profile(p, w, ez_factor / 10.0, algorithm="checked")
+    prof.pi = pi_o
+    prod_cac = fluss_cac(prof, ez_factor=ez_factor)
+    if not np.allclose(prod_cac, cac, rtol=0.0, atol=atol):
+        worst = float(np.abs(prod_cac - cac).max())
+        raise AssertionError(
+            f"production fluss_cac deviates from oracle-order CAC on conv "
+            f"{conv_id}: max|Δ|={worst:.2e} > atol={atol}")
+    # PRODUCTION extraction loop on the rounded oracle CAC (bitwise == SQL)
+    segs = fluss_extract(np.round(cac, round_dp), w,
+                         num_segments=num_segments, ez_factor=ez_factor)
+    if not segs:
+        return None
+    return pa.table({
+        "conv_id": pa.DictionaryArray.from_arrays(
+            pa.array(np.zeros(len(segs), dtype=np.int32)),
+            pa.array([conv_id])).cast(pa.string()),
+        "seg_rank": pa.array(np.arange(len(segs), dtype=np.int64)),
+        "window_idx": pa.array(np.asarray(segs, dtype=np.int64)),
+    }, schema=_FLUSS_SEG_CHECKED_SCHEMA)
 
 
 _ANNOT_SCHEMA = pa.schema([

@@ -191,12 +191,19 @@ class SampleFrames:
 
 def decode_stage(ds_media, *, fake: bool = True, batch_size: int = 8):
     """Wire the image-decode actor pool with multimodal-appropriate sizing:
-    small batches (large binary rows), arrow format, bounded pool."""
+    small batches (large binary rows), arrow format, autoscaling pool whose
+    CEILING tracks the session's CPUs (round-4 verdict item 3: decode is
+    the stage a real multimodal corpus scales wide — a constant cap of 4
+    starved 28 of 32 cores; the floor stays 1 per the small-session
+    deadlock note in CLAUDE.md)."""
+    import ray
+
+    cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
     return ds_media.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"fake": fake},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 4),
+        concurrency=(1, cpus),
         num_cpus=1,
     )

@@ -176,12 +176,17 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
     # parquet checkpoint each consumer reads back)
     ds_packed = ds_packed.materialize()
     kw = {"window_size": cfg.window_size, "ez": cfg.ez}
-    tiny = ds_packed.filter(expr=f"n_turns <= {TINY_TURNS}")
+    # clamp the tiny cutoff under the salting threshold: a config with
+    # salt_turn_threshold < TINY_TURNS would otherwise route convs in
+    # (threshold, TINY_TURNS] to BOTH the tiny and the sharded big path,
+    # duplicating profile rows (ADVICE r4)
+    tiny_cut = min(TINY_TURNS, cfg.salt_turn_threshold)
+    tiny = ds_packed.filter(expr=f"n_turns <= {tiny_cut}")
     profiles_tiny = tiny.map_batches(
         profile_batch, fn_kwargs=kw, batch_format="pyarrow",
         batch_size=TINY_BATCH, num_cpus=1,
     )
-    mid = (ds_packed.filter(expr=f"n_turns > {TINY_TURNS}")
+    mid = (ds_packed.filter(expr=f"n_turns > {tiny_cut}")
            .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}"))
     if MID_ONE_ROW_BLOCKS:
         # one conversation per TASK, not merely per batch: a map task
