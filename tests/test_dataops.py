@@ -203,28 +203,68 @@ def test_ivf_topk_recall(ray_session):
     assert np.mean(recalls) >= 0.6  # nprobe=3/8 buckets
 
 
+def test_multimodal_codecs_roundtrip():
+    """The real stdlib codecs: BMP, WAV and BMPV round-trip bit-exactly."""
+    from tsmp_ray.stages.multimodal import (
+        decode_bmp, decode_bmpv_frame, decode_wav, encode_bmp, encode_bmpv,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(11)
+    # odd width exercises the 4-byte row padding
+    img = rng.integers(0, 256, size=(13, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+    x = np.sin(np.linspace(0, 40, 4096)) * 0.8
+    got, sr = decode_wav(encode_wav(x, 16000))
+    assert sr == 16000
+    np.testing.assert_allclose(got, x, atol=1.0 / 32767)
+    frames = [rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+              for _ in range(5)]
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(
+            decode_bmpv_frame(encode_bmpv(frames), i), f)
+
+
 def test_multimodal_plumbing(ray_session):
     import ray
     from tsmp_ray.stages.multimodal import (
-        DecodeImage, SampleFrames, decode_stage, synthetic_media,
+        DecodeImage, SampleFrames, decode_bmp, decode_stage, synthetic_media,
     )
 
-    tbl = synthetic_media(24, seed=1)
+    tbl = synthetic_media(24, seed=1, real=True)
     ds = ray.data.from_arrow(tbl)
-    feats = decode_stage(ds, fake=True).to_pandas()
+    # REAL path: the actor pool decodes genuine BMP bytes
+    feats = decode_stage(ds, fake=False).to_pandas()
     n_images = sum(1 for k in tbl["kind"].to_pylist() if k == "image")
     assert len(feats) == n_images
     assert all(len(f) == 3 + 3 + 16 for f in feats["feature"])
-    # deterministic: same payload -> same features
-    feats2 = decode_stage(ds, fake=True).to_pandas()
-    a = feats.sort_values("media_id").reset_index(drop=True)
-    b = feats2.sort_values("media_id").reset_index(drop=True)
-    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
-    # real decode is an explicit stub
+    # the distributed features equal a local decode of the same bytes
+    row0 = feats.sort_values("media_id").iloc[0]
+    idx0 = tbl["media_id"].to_pylist().index(row0["media_id"])
+    img0 = decode_bmp(tbl["payload"][idx0].as_py())
+    dec = DecodeImage(fake=False)
+    small = dec._resize(img0, 16, 16).astype(np.float64)
+    want = np.concatenate([small.mean(axis=(0, 1)), small.std(axis=(0, 1)),
+                           small.reshape(-1, 3).mean(axis=1)[:16]])
+    np.testing.assert_allclose(np.asarray(row0["feature"]), want)
+    # fake path still works on arbitrary bytes, deterministically
+    raw = ray.data.from_arrow(synthetic_media(24, seed=1, real=False))
+    f1 = decode_stage(raw, fake=True).to_pandas().sort_values("media_id")
+    f2 = decode_stage(raw, fake=True).to_pandas().sort_values("media_id")
+    assert all(np.allclose(x, y) for x, y in zip(f1["feature"], f2["feature"]))
+    # compressed codecs stay a declared stub
     with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)._decode(b"x", 4, 4)
-    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": True},
+        DecodeImage(fake=False)._decode(b"\x89PNG....", 4, 4)
+    # REAL frame sampling: seeks into BMPV and decodes every 4th frame
+    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": False},
                             batch_format="pyarrow",
                             concurrency=(1, 2)).to_pandas()
     vids = [i for i, k in enumerate(tbl["kind"].to_pylist()) if k == "video"]
     assert set(frames["media_id"]) == set(tbl["media_id"].to_pylist()[i] for i in vids)
+    assert np.isfinite(frames["frame_mean"]).all()
+    r = frames.iloc[0]
+    from tsmp_ray.stages.multimodal import decode_bmpv_frame
+
+    pay = tbl["payload"][tbl["media_id"].to_pylist().index(r["media_id"])].as_py()
+    assert r["frame_mean"] == float(
+        decode_bmpv_frame(pay, int(r["frame_idx"])).mean())

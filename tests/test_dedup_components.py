@@ -44,33 +44,46 @@ def test_dup_components_matches_union_find(ray_session):
 
 
 def test_multimodal_audio_and_frames(ray_session):
-    """Audio framing + video frame-sampling plumbing (fake decoders)."""
+    """Audio framing + video frame-sampling over REAL payloads (PCM WAV via
+    stdlib wave, BMPV frame seeks), plus the declared stub for compressed
+    codecs."""
     import ray
 
     from tsmp_ray.stages.multimodal import (
-        AudioFeatures, SampleFrames, synthetic_media,
+        AudioFeatures, SampleFrames, decode_wav, synthetic_media,
     )
 
-    ds = ray.data.from_arrow(synthetic_media(48, seed=3))
-    audio = ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": True},
+    tbl = synthetic_media(48, seed=3, real=True)
+    ds = ray.data.from_arrow(tbl)
+    audio = ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": False},
                            batch_format="pyarrow", batch_size=8,
                            concurrency=(1, 2)).to_pandas()
     assert len(audio) > 0
     assert (audio["n_frames"] > 0).all()
     assert all(len(r) == n for r, n in zip(audio["rms"], audio["n_frames"]))
+    # distributed RMS equals a local decode of the same WAV bytes
+    row0 = audio.sort_values("media_id").iloc[0]
+    idx0 = tbl["media_id"].to_pylist().index(row0["media_id"])
+    x, _sr = decode_wav(tbl["payload"][idx0].as_py())
+    nf = len(x) // 512
+    want = np.sqrt((x[: nf * 512].reshape(nf, 512) ** 2).mean(axis=1))
+    np.testing.assert_allclose(np.asarray(row0["rms"]), want)
 
-    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": True},
+    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": False},
                             batch_format="pyarrow", batch_size=8,
                             concurrency=(1, 2)).to_pandas()
     assert len(frames) > 0
     assert (frames["frame_idx"] % 4 == 0).all()
+    assert np.isfinite(frames["frame_mean"]).all()
 
-    # real decode is declared-unimplemented, not silently wrong
+    # compressed decode is declared-unimplemented, not silently wrong: the
+    # real=False table carries raw random bytes (no RIFF/BMPV magic)
     import pytest as _pytest
 
+    raw = ray.data.from_arrow(synthetic_media(48, seed=3, real=False))
     with _pytest.raises(Exception):
-        ds.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": False},
-                       batch_format="pyarrow").materialize()
+        raw.map_batches(AudioFeatures, fn_constructor_kwargs={"fake": False},
+                        batch_format="pyarrow").materialize()
 
 
 def test_dup_components_long_path_graph(ray_session):

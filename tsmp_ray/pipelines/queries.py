@@ -1666,12 +1666,15 @@ def q_snippets(sf_dir: str):
 
 
 def q_multimodal(sf_dir: str):
+    """Image decode over REAL bytes (round-5): the synthetic table carries
+    genuine 24-bit BMP payloads and the actor pool decodes them with the
+    pure-numpy parser (fake=False) — no stub in the driver row."""
     import ray
 
     from ..stages.multimodal import decode_stage, synthetic_media
 
-    ds = ray.data.from_arrow(synthetic_media(64, seed=9))
-    return decode_stage(ds, fake=True)
+    ds = ray.data.from_arrow(synthetic_media(64, seed=9, real=True))
+    return decode_stage(ds, fake=False)
 
 
 def q_floss_streaming(sf_dir: str):

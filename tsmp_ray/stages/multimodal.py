@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode step is STUBBED (no PIL/ffmpeg in this environment — task brief):
-``DecodeImage``/``SampleFrames`` raise ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder (seeded from the
-payload bytes) produces arrays with the right shapes so the Ray-side plumbing
-— schema, batch sizing, actor signature, output layout — is real and tested.
+Decode is REAL for the container formats the standard library can parse —
+24-bit uncompressed BMP (struct + numpy), PCM WAV (stdlib ``wave``), and a
+length-prefixed concatenated-BMP video container — so the stages genuinely
+decode bytes end-to-end. Compressed codecs (JPEG/PNG/MP4/Opus) require
+PIL/ffmpeg, which this container does not have: those payloads raise
+``NotImplementedError`` (an honest stub, per the task brief), and
+``fake=True`` substitutes a deterministic payload-seeded decoder so plumbing
+tests can run on arbitrary bytes.
 
 Scale notes (per the brief): binary payloads are large, so stages run with
 small ``batch_size`` and ``batch_format='pyarrow'`` (binary round-trips Arrow
@@ -14,6 +17,9 @@ zero-copy; pandas would box to objects).
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 import zlib
 
 import numpy as np
@@ -32,18 +38,144 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthetic_media(n: int = 32, seed: int = 0) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+# --------------------------------------------------------------- real codecs
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit uncompressed BMP
+    (BITMAPINFOHEADER, bottom-up rows, BGR byte order, rows padded to 4)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (-row) % 4
+    body_size = (row + pad) * h
+    # pixel rows bottom-up, RGB -> BGR
+    rows = img[::-1, :, ::-1]
+    if pad:
+        rows = np.concatenate(
+            [rows.reshape(h, row),
+             np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + body_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_size,
+                       2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an (h, w, 3) uint8 RGB array."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14)
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + ((-row) % 4)
+    px = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                       offset=data_off).reshape(h, stride)[:, :row]
+    img = px.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    return img[::-1] if bottom_up else img
+
+
+def encode_wav(x: np.ndarray, sample_rate: int) -> bytes:
+    """Encode a float waveform in [-1, 1] as 16-bit mono PCM WAV."""
+    pcm = np.clip(np.asarray(x, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit mono PCM WAV to (float64 waveform in [-1, 1], rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+            raise NotImplementedError("only 16-bit mono PCM WAV supported")
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    return x, sr
+
+
+_BMPV_MAGIC = b"BMPV"
+
+
+def encode_bmpv(frames: list[np.ndarray]) -> bytes:
+    """Concatenated-BMP video container: magic + frame count, then one
+    length-prefixed BMP per frame. A stand-in for MP4 (which needs ffmpeg):
+    real bytes, real per-frame decode, trivially seekable."""
+    parts = [_BMPV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        b = encode_bmp(f)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def decode_bmpv_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Seek to and decode ONE frame of a BMPV payload (no full-file decode —
+    frame sampling should not pay for the frames it skips)."""
+    if payload[:4] != _BMPV_MAGIC:
+        raise ValueError("not a BMPV payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} out of range ({n} frames)")
+    off = 8
+    for _ in range(frame_idx):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4 + ln
+    (ln,) = struct.unpack_from("<I", payload, off)
+    return decode_bmp(payload[off + 4 : off + 4 + ln])
+
+
+# ----------------------------------------------------------- synthetic table
+
+
+def synthetic_media(n: int = 32, seed: int = 0, real: bool = True) -> pa.Table:
+    """Deterministic media table. ``real=True`` (default) emits genuinely
+    decodable payloads — BMP images, PCM WAV audio, BMPV video — so the
+    decode stages exercise the real byte parsers; ``real=False`` emits
+    random bytes for the fake-decoder plumbing path."""
     rng = np.random.default_rng(seed)
     kinds = rng.choice(["image", "audio", "video"], size=n)
     payloads, w, h, sr, nf = [], [], [], [], []
-    for i, k in enumerate(kinds):
-        size = int(rng.integers(256, 4096))
-        payloads.append(rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
-        w.append(int(rng.integers(8, 64)) if k != "audio" else 0)
-        h.append(int(rng.integers(8, 64)) if k != "audio" else 0)
-        sr.append(16000 if k == "audio" else 0)
-        nf.append(int(rng.integers(4, 16)) if k == "video" else 1)
+    for k in kinds:
+        if not real:
+            size = int(rng.integers(256, 4096))
+            payloads.append(
+                rng.integers(0, 256, size=size, dtype=np.uint8).tobytes())
+            w.append(int(rng.integers(8, 64)) if k != "audio" else 0)
+            h.append(int(rng.integers(8, 64)) if k != "audio" else 0)
+            sr.append(16000 if k == "audio" else 0)
+            nf.append(int(rng.integers(4, 16)) if k == "video" else 1)
+            continue
+        if k == "image":
+            wi, hi = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            img = rng.integers(0, 256, size=(hi, wi, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
+            w.append(wi); h.append(hi); sr.append(0); nf.append(1)
+        elif k == "audio":
+            rate = 16000
+            t = np.arange(int(rng.integers(2048, 8192))) / rate
+            f0 = float(rng.uniform(100, 2000))
+            x = 0.5 * np.sin(2 * np.pi * f0 * t) \
+                + 0.1 * rng.standard_normal(len(t))
+            payloads.append(encode_wav(x, rate))
+            w.append(0); h.append(0); sr.append(rate); nf.append(1)
+        else:
+            wi, hi = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            k_frames = int(rng.integers(4, 16))
+            frames = [rng.integers(0, 256, size=(hi, wi, 3), dtype=np.uint8)
+                      for _ in range(k_frames)]
+            payloads.append(encode_bmpv(frames))
+            w.append(wi); h.append(hi); sr.append(0); nf.append(k_frames)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
@@ -68,10 +200,11 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: binary payload -> fixed-size feature vector.
 
-    Real decode is a stub: with ``fake=False`` it raises NotImplementedError
-    (image libraries are not available in this container); ``fake=True``
-    substitutes the deterministic fake decoder. Resize to (out_h, out_w) then
-    emit per-channel mean/std features.
+    ``fake=False`` (the real path) decodes 24-bit BMP payloads with the
+    pure-numpy parser; other image codecs (JPEG/PNG) raise
+    NotImplementedError — they need PIL/cv2, absent in this container.
+    ``fake=True`` substitutes the deterministic payload-seeded decoder.
+    Resize to (out_h, out_w) then emit per-channel mean/std features.
     """
 
     def __init__(self, out_h: int = 16, out_w: int = 16, fake: bool = False):
@@ -79,12 +212,13 @@ class DecodeImage:
         self.fake = fake
 
     def _decode(self, payload: bytes, h: int, w: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "image decode requires PIL/cv2, not present in this container;"
-                " construct with fake=True for the deterministic stub"
-            )
-        return _fake_pixels(payload, max(h, 1), max(w, 1))
+        if self.fake:
+            return _fake_pixels(payload, max(h, 1), max(w, 1))
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        raise NotImplementedError(
+            "non-BMP image decode requires PIL/cv2, not present in this "
+            "container; construct with fake=True for the deterministic stub")
 
     @staticmethod
     def _resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
@@ -119,22 +253,25 @@ class DecodeImage:
 
 class AudioFeatures:
     """Audio stage: binary payload -> framed waveform features (RMS + zero
-    crossings per frame). Real decode is a stub (no soundfile/ffmpeg here);
-    ``fake=True`` synthesizes a deterministic waveform from the payload so
-    framing/feature plumbing is real and tested."""
+    crossings per frame). ``fake=False`` decodes 16-bit mono PCM WAV via the
+    stdlib ``wave`` module; compressed codecs raise NotImplementedError (no
+    soundfile/ffmpeg here). ``fake=True`` synthesizes a deterministic
+    waveform from the payload."""
 
     def __init__(self, frame: int = 512, fake: bool = False):
         self.frame = frame
         self.fake = fake
 
     def _decode(self, payload: bytes, sr: int) -> np.ndarray:
-        if not self.fake:
-            raise NotImplementedError(
-                "audio decode requires soundfile/ffmpeg, not present in this"
-                " container; construct with fake=True for the stub")
-        rng = np.random.default_rng(zlib.crc32(payload))
-        n = max(len(payload) * 4, self.frame)
-        return rng.standard_normal(n).astype(np.float32)
+        if self.fake:
+            rng = np.random.default_rng(zlib.crc32(payload))
+            n = max(len(payload) * 4, self.frame)
+            return rng.standard_normal(n).astype(np.float32)
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)[0]
+        raise NotImplementedError(
+            "compressed audio decode requires soundfile/ffmpeg, not present "
+            "in this container; construct with fake=True for the stub")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, rms, zc, nfr = [], [], [], []
@@ -162,34 +299,45 @@ class AudioFeatures:
 
 
 class SampleFrames:
-    """Video stage: sample every k-th frame index and emit one row per sampled
-    frame (flat_map-shaped output from map_batches)."""
+    """Video stage: sample every k-th frame and emit one row per sampled
+    frame. ``fake=False`` seeks into BMPV payloads and DECODES each sampled
+    frame (emitting its mean intensity as proof of decode); MP4/AVI raise
+    NotImplementedError (ffmpeg absent). ``fake=True`` emits indices from
+    the metadata only, frame_mean = NaN."""
 
     def __init__(self, stride: int = 4, fake: bool = False):
         self.stride = stride
         self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frames = [], []
+        ids, frames, means = [], [], []
         for i in range(batch.num_rows):
             if batch["kind"][i].as_py() != "video":
                 continue
-            if not self.fake:
-                raise NotImplementedError(
-                    "video decode requires ffmpeg, not present; use fake=True")
             nf = batch["n_frames"][i].as_py()
+            payload = None
+            if not self.fake:
+                payload = batch["payload"][i].as_py()
+                if payload[:4] != _BMPV_MAGIC:
+                    raise NotImplementedError(
+                        "MP4/AVI decode requires ffmpeg, not present; BMPV "
+                        "payloads decode for real, or use fake=True")
             for f in range(0, nf, self.stride):
                 ids.append(batch["media_id"][i].as_py())
                 frames.append(f)
+                means.append(
+                    float(decode_bmpv_frame(payload, f).mean())
+                    if payload is not None else float("nan"))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "frame_idx": pa.array(frames, pa.int64()),
+                "frame_mean": pa.array(means, pa.float64()),
             }
         )
 
 
-def decode_stage(ds_media, *, fake: bool = True, batch_size: int = 8):
+def decode_stage(ds_media, *, fake: bool = False, batch_size: int = 8):
     """Wire the image-decode actor pool with multimodal-appropriate sizing:
     small batches (large binary rows), arrow format, autoscaling pool whose
     CEILING tracks the session's CPUs (round-4 verdict item 3: decode is
