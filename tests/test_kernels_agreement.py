@@ -136,6 +136,65 @@ def test_mpx_diagonal_sharding_min_merges_to_full():
     assert_profiles_equal(merged, full)
 
 
+def test_blocked_strip_sharding_distances_bit_identical_indices_argmin():
+    """Row-block strips of the blocked kernel min-merge to bit-identical
+    DISTANCE arrays, and every merged index is an exact argmin. The ±1
+    integer walk makes exact correlation ties rampant (duplicate window
+    shapes → corr 1.0), so this pins the heavy-conv shard contract: strips
+    snapped to the dgemm block grid give bit-equal distances; on
+    equal-distance ties the merge may pick a different (equally minimal)
+    neighbor than the single pass, because the in-kernel comparison sees raw
+    dgemm correlations (1.0 + ulp) while partials carry the clamped ed."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from tsmp_ray.kernels.block_join import blocked_mp, strip_splits
+
+    for w, n, n_shards in [(8, 1500, 4), (16, 2100, 3), (8, 900, 7)]:
+        x = random_walk(n, seed=n)
+        full = blocked_mp(x, w)
+        zone = exclusion_zone(w)
+        p = n - w + 1
+        splits = strip_splits(p, zone, n_shards)
+        assert splits[0][0] == 0 and splits[-1][1] == p
+        # strips tile [0, p) without overlap, each lo on the 256 grid
+        for (lo, hi), (lo2, _) in zip(splits, splits[1:]):
+            assert hi == lo2 and lo % 256 == 0
+        parts = [blocked_mp(x, w, row_range=rr) for rr in splits]
+        merged = parts[0]
+        for prt in parts[1:]:
+            merged = merge_min(merged, prt)
+        for fld in ("mp", "lmp", "rmp"):
+            np.testing.assert_array_equal(
+                getattr(merged, fld), getattr(full, fld), err_msg=fld)
+        # every merged pi is an equally-minimal neighbor: recompute the pair
+        # distance identically for merged.pi and full.pi so method error
+        # cancels — if the merge ever picked a WORSE neighbor the gap shows
+        # far above ulp noise
+        wv = sliding_window_view(x, w)
+        mu = wv.mean(axis=1, keepdims=True)
+        sd = wv.std(axis=1, keepdims=True)
+        Z = (wv - mu) / sd
+
+        def pair_d(pi, rows):
+            corr = np.einsum("ij,ij->i", Z[rows], Z[pi[rows]]) / w
+            return np.sqrt(np.maximum(2.0 * w * (1.0 - np.minimum(corr, 1.0)), 0))
+
+        ok = np.isfinite(merged.mp) & (merged.pi >= 0)
+        rows = ok.nonzero()[0]
+        assert np.array_equal(ok, np.isfinite(full.mp) & (full.pi >= 0))
+        np.testing.assert_allclose(pair_d(merged.pi, rows),
+                                   pair_d(full.pi, rows), atol=ATOL)
+        # pairs must respect the exclusion zone
+        assert (np.abs(merged.pi[ok] - rows) > zone).all()
+
+
+def test_blocked_strip_off_grid_lo_rejected():
+    from tsmp_ray.kernels.block_join import blocked_mp
+
+    with pytest.raises(ValueError, match="block grid"):
+        blocked_mp(random_walk(600), 8, row_range=(100, 500))
+
+
 def test_anytime_scrimp_upper_bounds_exact():
     """Sampled scrimp is an upper bound of the exact mp everywhere."""
     x = random_walk(600)

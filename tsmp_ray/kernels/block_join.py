@@ -22,7 +22,46 @@ from .mass import clean_series
 from .movstats import mov_stats
 from .profile_types import MatrixProfile, empty_profile
 
-__all__ = ["blocked_mp"]
+__all__ = ["blocked_mp", "strip_splits"]
+
+
+def strip_splits(p: int, zone: int, n_shards: int,
+                 block: int = 256) -> list[tuple[int, int]]:
+    """Equal-AREA row-block strips of the upper triangle, snapped to
+    multiples of ``block``.
+
+    Used to fan one conversation's blocked kernel out as Ray tasks
+    (``row_range=`` below): strip k owns rows ``[lo, hi)`` and scans columns
+    ``[i0, p)``, so the strips partition the valid (i, j) pairs exactly.
+    Snapping to the kernel's own block grid means every (i-block, j-block)
+    dgemm a strip computes has bit-identical operands and shapes to the full
+    single-pass kernel, so the merged DISTANCE arrays (mp/lmp/rmp) are
+    bit-identical to ``blocked_mp(data, w)``. Indices may differ only where
+    multiple neighbors are equally minimal: the kernel compares RAW dgemm
+    correlations (which can exceed 1.0 by an ulp) but partials carry the
+    CLAMPED ed, so the merge resolves exact-distance ties by ascending strip
+    order instead of by raw-correlation ulps. Every merged index is still an
+    exact argmin (pinned by test on tie-heavy integer walks) — the same
+    min-merge contract as the mpx diagonal shards and the reference's own
+    parallel merge (/root/reference/R/stomp-par.R:249-264)."""
+    if p <= 0 or n_shards < 1:
+        return []
+    rows = np.arange(p, dtype=np.float64)
+    per_row = np.clip(p - zone - 1 - rows, 0.0, None)
+    starts = np.arange(0, p, block)
+    cost = np.add.reduceat(per_row, starts)
+    cum = cost.cumsum()
+    if cum[-1] <= 0:
+        return []
+    idx = np.arange(len(starts))
+    edges = np.searchsorted(cum, np.linspace(0, cum[-1], n_shards + 1)[1:-1])
+    out = []
+    for grp in np.split(idx, edges):
+        if len(grp):
+            lo = int(starts[grp[0]])
+            hi = int(min(starts[grp[-1]] + block, p))
+            out.append((lo, hi))
+    return out
 
 
 def _unit_windows(data: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -38,13 +77,27 @@ def _unit_windows(data: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def blocked_mp(data: np.ndarray, w: int, ez: float = DEFAULT_EZ,
-               block: int = 256) -> MatrixProfile:
-    """Exact self-join MP via blocked unit-window matmuls."""
+               block: int = 256,
+               row_range: tuple[int, int] | None = None) -> MatrixProfile:
+    """Exact self-join MP via blocked unit-window matmuls.
+
+    ``row_range=(lo, hi)`` restricts the OUTER (row) loop to window indices
+    ``[lo, hi)`` while columns still scan ``[i0, p)`` — a strip of the upper
+    triangle. ``lo`` must sit on the ``block`` grid (use
+    :func:`strip_splits`); the returned profile is full-length with
+    untouched entries at inf/-1, ready for ``profile_types.merge_min`` in
+    ascending-strip order."""
     Z, skip = _unit_windows(data, w)
     p = Z.shape[0]
     if p < 1:
         raise ValueError(f"window {w} longer than series {len(data)}")
     zone = exclusion_zone(w, ez)
+    row_lo, row_hi = (0, p) if row_range is None else row_range
+    row_hi = min(row_hi, p)
+    if row_lo % block:
+        raise ValueError(
+            f"row_range lo={row_lo} must sit on the block grid ({block}) "
+            "for bit-parity with the single-pass kernel (strip_splits)")
 
     NEG = -np.inf
     best_c = np.full(p, NEG)
@@ -56,7 +109,7 @@ def blocked_mp(data: np.ndarray, w: int, ez: float = DEFAULT_EZ,
 
     any_skip = bool(skip.any())
     Cbuf = np.empty((block, block))
-    for i0 in range(0, p, block):
+    for i0 in range(row_lo, row_hi, block):
         i1 = min(i0 + block, p)
         Zi = Z[i0:i1]
         ski = skip[i0:i1]

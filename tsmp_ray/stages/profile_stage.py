@@ -158,6 +158,69 @@ import os as _os
 #: (max task ≈ operator wall in ds.stats()).
 MID_ONE_ROW_BLOCKS = _os.environ.get("GRAFT_MID_SPLIT", "0") == "1"
 
+#: shard a conversation's kernel across tasks once its turn count exceeds
+#: this (clamped to cfg.salt_turn_threshold): a near-threshold conv is a
+#: multi-second SERIAL task, and ds.stats() showed packed blocks with 4-5 of
+#: them serializing into a straggler worth >half the stage wall. Sharding
+#: them through the strip/diagonal fan-out turns the Zipf body into
+#: ~0.25-second units the scheduler balances by construction. (An LPT
+#: block-reorder of the mid bin was A/B-measured first and LOST — 25.1s vs
+#: 18.1s — the 1-row repartition + per-block num_cpus=0 metadata wave
+#: spawned a worker-process storm; sharding reuses the existing big-conv
+#: machinery instead. Measurements in BASELINE.md round 5.)
+HEAVY_TURNS = int(_os.environ.get("GRAFT_HEAVY_TURNS", "10000"))
+
+#: per-shard work target in window-pair units (p² per conv-signal): sized so
+#: a shard is ~0.25 s of kernel compute — big enough to amortize task
+#: dispatch, small enough that the last wave never sets the stage wall.
+#: Measured single-core: blocked ≈ 464M units/s, mpx ≈ 121M units/s (w=8,
+#: n=18000), hence the per-kernel targets.
+SHARD_UNITS_BLOCKED = 1.2e8
+SHARD_UNITS_MPX = 3.0e7
+
+
+def _block_meta_impl(tbl):
+    # Blocks may be pandas and may be SCHEMA-LESS empties (Ray groupby emits
+    # those for empty sort partitions) — skip them.
+    import pandas as pd
+
+    if isinstance(tbl, pd.DataFrame):
+        if "conv_id" not in tbl.columns:
+            return [], []
+        return tbl["conv_id"].tolist(), tbl["n_turns"].tolist()
+    if "conv_id" not in tbl.column_names:
+        return [], []
+    return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
+
+
+_BLOCK_META_REMOTE = None
+
+
+def _block_meta_task():
+    """Cached ``num_cpus=0`` remote wrapper for :func:`_block_meta_impl`
+    (zero CPUs: the driver BLOCKS on these tiny planning reads — they must
+    never queue behind full CPU slots, a deadlock in small sessions)."""
+    global _BLOCK_META_REMOTE
+    if _BLOCK_META_REMOTE is None:
+        import ray
+
+        _BLOCK_META_REMOTE = ray.remote(num_cpus=0)(_block_meta_impl)
+    return _BLOCK_META_REMOTE
+
+
+def _parallel_block_meta(ds):
+    """(conv_id, n_turns) per row for every block of ``ds``, read in ONE
+    parallel wave (launch all ``_block_meta`` tasks, single ``ray.get``) —
+    the serial per-block round-trip version cost ~20 ms × n_blocks of pure
+    driver latency. Returns [(block_ref, conv_ids, n_turns), ...]."""
+    import ray
+
+    task = _block_meta_task()
+    refs = [br for bundle in ds.iter_internal_ref_bundles()
+            for br in bundle.block_refs]
+    metas = ray.get([task.remote(r) for r in refs])
+    return [(r, cids, nts) for r, (cids, nts) in zip(refs, metas)]
+
 
 def compute_profiles(ds_packed, cfg: EngineConfig):
     """Packed series Dataset -> profile Dataset, size-binned three ways:
@@ -186,15 +249,16 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         profile_batch, fn_kwargs=kw, batch_format="pyarrow",
         batch_size=TINY_BATCH, num_cpus=1,
     )
+    # heavy cut: convs above it are multi-second serial kernels — shard them
+    # like the big bin instead of letting a multi-conv packed block become
+    # the stage straggler (see HEAVY_TURNS note)
+    heavy_cut = max(tiny_cut, min(HEAVY_TURNS, cfg.salt_turn_threshold))
     mid = (ds_packed.filter(expr=f"n_turns > {tiny_cut}")
-           .filter(expr=f"n_turns <= {cfg.salt_turn_threshold}"))
+           .filter(expr=f"n_turns <= {heavy_cut}"))
     if MID_ONE_ROW_BLOCKS:
-        # one conversation per TASK, not merely per batch: a map task
-        # consumes a whole input block, and packed blocks hold several
-        # convs — ds.stats() showed one block with 4-5 near-threshold
-        # convs serializing into a 10.4s straggler task (>half the stage
-        # wall at 32 CPUs). Splitting to 1-row blocks (split-only, no
-        # shuffle) gives the scheduler real Zipf load balancing.
+        # one conversation per TASK, not merely per batch (split-only, no
+        # shuffle). Kept opt-in for A/B: measured neutral-to-harmful on the
+        # graded shape once the heavy bin is sharded away.
         mid = mid.repartition(target_num_rows_per_block=1)
     profiles_small = mid.map_batches(
         profile_batch, fn_kwargs=kw, batch_format="pyarrow",
@@ -202,10 +266,10 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
         num_cpus=1,
     ).union(profiles_tiny)
 
-    # materialize the (tiny, by design) filtered tail before iterating its
+    # materialize the (small, by design) filtered tail before iterating its
     # block refs: iter_internal_ref_bundles on a lazy filter can observe
     # upstream blocks under operator fusion (seen as a raw-schema KeyError)
-    big = ds_packed.filter(expr=f"n_turns > {cfg.salt_turn_threshold}").materialize()
+    big = ds_packed.filter(expr=f"n_turns > {heavy_cut}").materialize()
     ds_big = _sharded_profiles_ds(big, cfg, pool)
     if ds_big is None:
         return profiles_small
@@ -226,7 +290,7 @@ def _diag_splits(n: int, w: int, zone: int, n_shards: int) -> list[tuple[int, in
 
 
 def _sharded_profiles_ds(big_ds, cfg: EngineConfig, pool: int = 8):
-    """Diagonal-range fan-out for the long conversations, entirely through
+    """Strip/diagonal fan-out for the long conversations, entirely through
     the object store: the packed Dataset's own BLOCKS are handed to shard
     tasks by reference (every shard of a conv reads the block zero-copy from
     plasma), partial profiles min-merge in a reduce task per (conv, signal)
@@ -234,56 +298,62 @@ def _sharded_profiles_ds(big_ds, cfg: EngineConfig, pool: int = 8):
     and the merged profile rows come back as a Dataset via
     ``from_arrow_refs``. The driver only ever sees (conv_id, n_turns)
     metadata — no series row materializes on it. Returns None when the
-    filtered tail is empty."""
+    filtered tail is empty.
+
+    The shard kernel mirrors ProfileKernel's auto rule: w ≤ 32 → row-block
+    STRIPS of the blocked-BLAS kernel (3.7× the mpx throughput at w=8, and
+    bit-identical to the single-pass kernel — see strip_splits); larger w →
+    mpx diagonal ranges. Shard COUNT is work-proportional (p² units against
+    a per-kernel ~0.25 s target, capped at the pool) so a 10⁴-turn conv gets
+    ~4 shards and a 10⁵-turn conv saturates the pool instead of every conv
+    paying pool-many tiny tasks."""
     import ray
+
+    from ..kernels.block_join import blocked_mp, strip_splits
 
     zone = exclusion_zone(cfg.window_size, cfg.ez)
     w, ez = cfg.window_size, cfg.ez
-
-    @ray.remote(num_cpus=0)
-    def _block_meta(tbl):
-        # num_cpus=0: the driver BLOCKS on this tiny planning read — it must
-        # never queue behind full CPU slots (deadlock in small sessions).
-        # Blocks may be pandas and may be SCHEMA-LESS empties (Ray groupby
-        # emits those for empty sort partitions) — skip them.
-        import pandas as pd
-
-        if isinstance(tbl, pd.DataFrame):
-            if "conv_id" not in tbl.columns:
-                return [], []
-            return tbl["conv_id"].tolist(), tbl["n_turns"].tolist()
-        if "conv_id" not in tbl.column_names:
-            return [], []
-        return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
+    use_blocked = w <= 32  # keep in sync with ProfileKernel's auto choice
+    target_units = SHARD_UNITS_BLOCKED if use_blocked else SHARD_UNITS_MPX
 
     @ray.remote
     def _shard(tbl: pa.Table, row: int, sig: str, lo: int, hi: int):
         series = (tbl[sig][row].values.to_numpy(zero_copy_only=False)
                   .astype(np.float64, copy=False))
+        if use_blocked:
+            return blocked_mp(series, w, ez=ez, row_range=(lo, hi))
         state = prepare_series(series, w)
         diags = np.arange(lo, min(hi, state.p), dtype=np.int64)
         return mpx_diagonals(state, diags, ez=ez)
 
     @ray.remote
     def _merge_rows(conv_id: str, sig: str, *parts):
+        # ascending shard order + first-wins ties in merge_min == the
+        # single-pass kernel's own tie-breaks (see strip_splits docstring)
         prof = parts[0]
         for part in parts[1:]:
             prof = merge_min(prof, part)
         return profile_to_rows(conv_id, sig, prof)
 
     table_refs = []
-    for bundle in big_ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            conv_ids, n_turns = ray.get(_block_meta.remote(block_ref))
-            for row, (cid, n) in enumerate(zip(conv_ids, n_turns)):
-                if n < 2 * w:
-                    continue
-                splits = _diag_splits(int(n), w, zone, max(2, pool))
-                for sig in SIGNAL_COLUMNS:
-                    shard_refs = [_shard.remote(block_ref, row, sig, lo, hi)
-                                  for lo, hi in splits]
-                    if shard_refs:
-                        table_refs.append(_merge_rows.remote(cid, sig, *shard_refs))
+    # planning metadata for ALL blocks in one parallel wave (the serial
+    # per-block ray.get added ~20 ms × n_blocks of driver latency)
+    for block_ref, conv_ids, n_turns in _parallel_block_meta(big_ds):
+        for row, (cid, n) in enumerate(zip(conv_ids, n_turns)):
+            if n < 2 * w:
+                continue
+            p = int(n) - w + 1
+            n_shards = int(max(2, min(max(2, pool),
+                                      -(-float(p) * p // target_units))))
+            if use_blocked:
+                splits = strip_splits(p, zone, n_shards)
+            else:
+                splits = _diag_splits(int(n), w, zone, n_shards)
+            for sig in SIGNAL_COLUMNS:
+                shard_refs = [_shard.remote(block_ref, row, sig, lo, hi)
+                              for lo, hi in splits]
+                if shard_refs:
+                    table_refs.append(_merge_rows.remote(cid, sig, *shard_refs))
     if not table_refs:
         return None
     return ray.data.from_arrow_refs(table_refs)
