@@ -262,6 +262,32 @@ def test_salted_path_equals_inline(ray_session):
     np.testing.assert_allclose(a["lmp"].to_numpy(), b["lmp"].to_numpy(), atol=2e-5)
 
 
+def test_salted_path_equals_inline_large_window_mpx_branch(ray_session):
+    """Same salted-vs-inline parity but with w=40 (> 32), which routes the
+    shard path through the mpx DIAGONAL branch instead of the blocked
+    strips — both kernel branches of _sharded_profiles_ds stay covered at
+    stage level."""
+    import ray
+
+    tbl = synthetic_transcripts(n_convs=2, seed=11, mean_turns=60,
+                                long_conv_turns=700)
+    packed = pack_series(ray.data.from_arrow(tbl))
+    inline = compute_profiles(
+        packed, EngineConfig(window_size=40, salt_turn_threshold=10_000)
+    ).to_pandas()
+    salted = compute_profiles(
+        packed, EngineConfig(window_size=40, salt_turn_threshold=300,
+                             profile_concurrency=3)
+    ).to_pandas()
+    keys = ["conv_id", "signal", "window_idx"]
+    a = sorted_df(inline, keys)
+    b = sorted_df(salted, keys)
+    assert len(a) == len(b) and len(a) > 0
+    for col in ["mp", "lmp", "rmp"]:
+        np.testing.assert_allclose(a[col].to_numpy(), b[col].to_numpy(),
+                                   atol=2e-5)
+
+
 def test_sharded_mstomp_equals_single_task(ray_session):
     """compute_mstomp's index-range shard path (mstomp_par analog,
     /root/reference/R/mstomp-par.R:110-127) == the one-task-per-conv path."""
