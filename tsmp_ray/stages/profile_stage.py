@@ -306,7 +306,15 @@ def _sharded_profiles_ds(big_ds, cfg: EngineConfig, pool: int = 8):
     mpx diagonal ranges. Shard COUNT is work-proportional (p² units against
     a per-kernel ~0.25 s target, capped at the pool) so a 10⁴-turn conv gets
     ~4 shards and a 10⁵-turn conv saturates the pool instead of every conv
-    paying pool-many tiny tasks."""
+    paying pool-many tiny tasks.
+
+    Partitioning assumption (100 TB note): the sharded bin must be the SKEW
+    TAIL — the driver plans O(#sharded convs) tasks (metadata only, no
+    series bytes), so the cut (HEAVY_TURNS / cfg.salt_turn_threshold) should
+    keep the bin to ~10³-10⁴ convs per driver. At full scale the flagship
+    runs per input shard over lineage-partitioned packed parquet, so each
+    shard's driver plans only its own tail; convs below the cut stay inside
+    the Dataset map path whatever their count."""
     import ray
 
     from ..kernels.block_join import blocked_mp, strip_splits
