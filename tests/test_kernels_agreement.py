@@ -188,6 +188,30 @@ def test_blocked_strip_sharding_distances_bit_identical_indices_argmin():
         assert (np.abs(merged.pi[ok] - rows) > zone).all()
 
 
+def test_strip_splits_tile_exactly_across_shapes():
+    """Property sweep: for random (p, zone, n_shards), strips start at 0,
+    end at p, are contiguous, on-grid, non-empty — so the shard fan-out
+    covers every valid (i, j) pair exactly once at any shape."""
+    from tsmp_ray.kernels.block_join import strip_splits
+
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        p = int(rng.integers(1, 5000))
+        zone = int(rng.integers(0, 50))
+        n_shards = int(rng.integers(1, 40))
+        splits = strip_splits(p, zone, n_shards)
+        if zone + 1 >= p:
+            assert splits == []  # no valid pairs at all
+            continue
+        assert splits, (p, zone, n_shards)
+        assert splits[0][0] == 0 and splits[-1][1] == p
+        for (lo, hi), (lo2, _) in zip(splits, splits[1:]):
+            assert hi == lo2
+        for lo, hi in splits:
+            assert lo % 256 == 0 and lo < hi
+        assert len(splits) <= n_shards
+
+
 def test_blocked_strip_off_grid_lo_rejected():
     from tsmp_ray.kernels.block_join import blocked_mp
 
