@@ -202,6 +202,34 @@ def test_mp_test_data_long_series_digests():
     assert abs(dc[0]["distance"] - 14.781634) < 1e-4
 
 
+def test_mp_meat_data_salient_digests():
+    """Known-answer on the reference's SALIENT example dataset (the one
+    shipped .rda not previously exercised): mp_meat_data$sub is a 107,520
+    point spectrography series with sub_len=448 and labeled salient
+    positions (/root/reference/R/salient.R:38-44 example). mpx over a 12k
+    prefix + the production salient_subsequences selection must rediscover
+    the in-prefix ground-truth labels. Digest values computed once (round
+    5) and pinned as regression guards on REAL reference data."""
+    from tsmp_ray.kernels.mpx import mpx
+    from tsmp_ray.kernels.salient import salient_subsequences
+
+    d = read_rda(f"{REF_DATA}/mp_meat_data.rda")["mp_meat_data"]
+    x = d["sub"]["data"].ravel(order="F").astype(np.float64)
+    w = int(d["sub"]["sub_len"].ravel()[0])
+    assert len(x) == 107520 and w == 448
+    labels = d["sub"]["labels_idx"].ravel().astype(int)
+    prefix = x[:12_000]
+    prof = mpx(prefix, w)
+    fin = np.isfinite(prof.mp)
+    assert int(fin.sum()) == 11553  # every window valid on this data
+    assert abs(float(prof.mp[fin].mean()) - 8.392854) < 1e-3
+    assert abs(float(prof.mp[fin].sum()) - 96962.6) < 15.0
+    sal = salient_subsequences(prefix, prof)
+    assert len(sal["indexes"]) == 27  # round(12000 / 448)
+    # the selection rediscovers in-prefix ground-truth labels exactly
+    assert {1345, 8961, 10753} <= set(sal["indexes"].tolist())
+
+
 def test_mp_test_data_mstomp_pmp_digests():
     """Long-series digests for the MULTIDIM and PAN paths on real reference
     data (round-3 verdict item 10): mstomp over an 8k prefix (3 dims = the
