@@ -94,23 +94,34 @@ class ProfileKernel:
             algorithm = "blocked" if self.w <= 32 else "mpx"
         self.algorithm = algorithm
 
-    def _one(self, conv_id: str, series: np.ndarray, signal: str) -> pa.Table | None:
+    def _one_profile(self, series: np.ndarray) -> MatrixProfile | None:
         if len(series) < 2 * self.w:
             return None
         if self.algorithm == "stomp":
-            prof = stomp(series, self.w, ez=self.ez)
-        elif self.algorithm == "blocked":
+            return stomp(series, self.w, ez=self.ez)
+        if self.algorithm == "blocked":
             from ..kernels.block_join import blocked_mp
 
-            prof = blocked_mp(series, self.w, ez=self.ez)
-        else:
-            state = prepare_series(series, self.w)
-            zone = exclusion_zone(self.w, self.ez)
-            prof = mpx_diagonals(state, np.arange(zone + 1, state.p), ez=self.ez)
-        return profile_to_rows(conv_id, signal, prof)
+            return blocked_mp(series, self.w, ez=self.ez)
+        state = prepare_series(series, self.w)
+        zone = exclusion_zone(self.w, self.ez)
+        return mpx_diagonals(state, np.arange(zone + 1, state.p), ez=self.ez)
+
+    def _one(self, conv_id: str, series: np.ndarray, signal: str) -> pa.Table | None:
+        prof = self._one_profile(series)
+        return None if prof is None else profile_to_rows(conv_id, signal, prof)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = []
+        # accumulate numpy parts and build ONE Arrow table per batch: a
+        # per-(conv, signal) pa.table + concat_tables costs tens of µs per
+        # tiny group, which dominated the tiny-conv bin at 10⁵⁺ convs
+        # (profile kernels there are single-digit µs each)
+        group_conv: list[str] = []
+        group_sig: list[str] = []
+        group_w: list[np.ndarray] = []
+        group_widx: list[np.ndarray] = []
+        vals: dict[str, list[np.ndarray]] = {
+            "mp": [], "pi": [], "lmp": [], "lpi": [], "rmp": [], "rpi": []}
         conv_ids = batch["conv_id"].to_pylist()
         for r, conv_id in enumerate(conv_ids):
             for sig in self.signals:
@@ -118,12 +129,48 @@ class ProfileKernel:
                 series = (batch[sig][r].values
                           .to_numpy(zero_copy_only=False)
                           .astype(np.float64, copy=False))
-                t = self._one(conv_id, series, sig)
-                if t is not None:
-                    outs.append(t)
-        if not outs:
+                prof = self._one_profile(series)
+                if prof is None:
+                    continue
+                p = len(prof.mp)
+                group_conv.append(conv_id)
+                group_sig.append(sig)
+                group_w.append(np.full(p, prof.w, dtype=np.int32))
+                group_widx.append(np.arange(p, dtype=np.int64))
+                vals["mp"].append(prof.mp)
+                vals["pi"].append(prof.pi)
+                vals["lmp"].append(prof.lmp if prof.lmp is not None
+                                   else np.full(p, np.inf))
+                vals["lpi"].append(prof.lpi if prof.lpi is not None
+                                   else np.full(p, -1, dtype=np.int64))
+                vals["rmp"].append(prof.rmp if prof.rmp is not None
+                                   else np.full(p, np.inf))
+                vals["rpi"].append(prof.rpi if prof.rpi is not None
+                                   else np.full(p, -1, dtype=np.int64))
+        if not group_conv:
             return PROFILE_SCHEMA.empty_table()
-        return pa.concat_tables(outs)
+        lens = np.asarray([len(a) for a in group_widx], dtype=np.int64)
+        idx = pa.array(np.repeat(np.arange(len(lens), dtype=np.int32), lens))
+
+        def rep(values: list[str]) -> pa.Array:
+            return pa.DictionaryArray.from_arrays(
+                idx, pa.array(values)).cast(pa.string())
+
+        return pa.table(
+            {
+                "conv_id": rep(group_conv),
+                "signal": rep(group_sig),
+                "w": pa.array(np.concatenate(group_w)),
+                "window_idx": pa.array(np.concatenate(group_widx)),
+                "mp": pa.array(np.concatenate(vals["mp"])),
+                "pi": pa.array(np.concatenate(vals["pi"])),
+                "lmp": pa.array(np.concatenate(vals["lmp"])),
+                "lpi": pa.array(np.concatenate(vals["lpi"])),
+                "rmp": pa.array(np.concatenate(vals["rmp"])),
+                "rpi": pa.array(np.concatenate(vals["rpi"])),
+            },
+            schema=PROFILE_SCHEMA,
+        )
 
 
 def profile_batch(batch: pa.Table, window_size: int = 8, ez: float = DEFAULT_EZ,

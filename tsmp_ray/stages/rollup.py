@@ -335,6 +335,17 @@ def _emit_tier_arrays(p: dict, width: int, gap_fill: bool,
 
 _TIER_EMIT_COLS = PARTIAL_COLUMNS[2:] + ["mean_v", "gap_filled"]
 
+#: combined-tier output schema (stable across the numpy fast path and the
+#: empty-batch case; types match what the pandas-built path produced)
+_TIERS_COMBINED_SCHEMA = pa.schema(
+    [("conv_id", pa.string()), ("signal", pa.string()),
+     ("bucket_ts", pa.int64()), ("n", pa.int64()), ("sum_v", pa.float64()),
+     ("min_v", pa.float64()), ("max_v", pa.float64()),
+     ("sumsq", pa.float64()), ("first_ts", pa.int64()),
+     ("first_v", pa.float64()), ("last_ts", pa.int64()),
+     ("last_v", pa.float64()), ("mean_v", pa.float64()),
+     ("gap_filled", pa.bool_()), ("tier", pa.string())])
+
 
 def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
                       gap_fill: bool = True, max_gap: int | None = None,
@@ -362,7 +373,16 @@ def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     widths = [(t, _T_[t]) for t in tiers]
 
     def _all(batch: pa.Table) -> pa.Table:
-        frames = []
+        # accumulate PLAIN NUMPY per column and emit ONE Arrow table per
+        # batch: the previous per-(conv, signal, tier) pandas DataFrame +
+        # one concat at the end cost ~0.5 ms per tiny group — 1.35M groups
+        # on a 150k-conv shape made the zero-shuffle rollup slower than the
+        # shuffle it replaced (measured: this map pass 59 s → 4 s)
+        cols: dict[str, list] = {c: [] for c in _TIER_EMIT_COLS}
+        group_conv: list[str] = []
+        group_sig: list[str] = []
+        group_tier: list[str] = []
+        group_len: list[int] = []
         conv_ids = batch["conv_id"].to_pylist()
         for r, conv in enumerate(conv_ids):
             ts = batch["ts"][r].values.to_numpy().astype(np.int64, copy=False)
@@ -384,17 +404,26 @@ def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
                     part = (_series_tier_arrays(ts, v, width) if part is None
                             else _fold_arrays(part, width))
                     emit = _emit_tier_arrays(part, width, gap_fill, max_gap)
-                    df = pd.DataFrame(emit)
-                    df.insert(0, "signal", sig)
-                    df.insert(0, "conv_id", conv)
-                    df["tier"] = tier
-                    frames.append(df)
-        if not frames:
-            return pa.Table.from_pandas(
-                pd.DataFrame(columns=["conv_id", "signal", *_TIER_EMIT_COLS,
-                                      "tier"]), preserve_index=False)
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                    preserve_index=False)
+                    for c in _TIER_EMIT_COLS:
+                        cols[c].append(emit[c])
+                    group_conv.append(conv)
+                    group_sig.append(sig)
+                    group_tier.append(tier)
+                    group_len.append(len(emit["bucket_ts"]))
+        if not group_len:
+            return _TIERS_COMBINED_SCHEMA.empty_table()
+        lens = np.asarray(group_len, dtype=np.int64)
+        idx = pa.array(np.repeat(np.arange(len(lens), dtype=np.int32), lens))
+
+        def rep(values: list[str]) -> pa.Array:
+            return pa.DictionaryArray.from_arrays(
+                idx, pa.array(values)).cast(pa.string())
+
+        out = {"conv_id": rep(group_conv), "signal": rep(group_sig)}
+        for c in _TIER_EMIT_COLS:
+            out[c] = pa.array(np.concatenate(cols[c]))
+        out["tier"] = rep(group_tier)
+        return pa.table(out).cast(_TIERS_COMBINED_SCHEMA)
 
     combined = ds_packed.map_batches(_all, batch_format="pyarrow",
                                      batch_size=batch_size).materialize()
