@@ -397,6 +397,38 @@ def test_checked_ops_gate_production_kernels(ray_session):
                        dict(kw, atol=1e-14)).to_pandas()
 
 
+def test_profile_kernel_batched_emit_equals_per_conv():
+    """ProfileKernel.__call__'s one-table-per-batch accumulation must equal
+    the per-conv profile_to_rows concat exactly — including a too-short
+    conv skipped mid-batch — and an all-short batch must come out empty
+    with the stable schema. Pure local (no Ray)."""
+    from tsmp_ray.stages.profile_stage import (PROFILE_SCHEMA, ProfileKernel,
+                                               profile_to_rows)
+
+    rng = np.random.default_rng(3)
+    w = 8
+    kern = ProfileKernel(window_size=w)
+    lengths = [40, 9, 55]  # middle conv < 2w -> skipped
+    series = {cid: {sig: rng.integers(0, 50, n).astype(float)
+                    for sig in kern.signals}
+              for cid, n in zip(["c0", "c1", "c2"], lengths)}
+    batch = pa.table({
+        "conv_id": pa.array(list(series)),
+        **{sig: pa.array([series[c][sig] for c in series],
+                         type=pa.list_(pa.float64()))
+           for sig in kern.signals},
+    })
+    got = kern(batch)
+    want = pa.concat_tables(
+        [profile_to_rows(cid, sig, kern._one_profile(series[cid][sig]))
+         for cid in ("c0", "c2") for sig in kern.signals])
+    assert got.schema.equals(PROFILE_SCHEMA)
+    assert got.equals(want)
+
+    empty = kern(batch.filter(pa.array([False, True, False])))
+    assert empty.num_rows == 0 and empty.schema.equals(PROFILE_SCHEMA)
+
+
 def test_tiers_from_packed_equals_build_tiers(ray_session):
     """The zero-shuffle packed-row tier path must equal the generic
     partial+groupby fold path BITWISE (same add order: ts order within
