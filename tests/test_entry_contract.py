@@ -83,3 +83,17 @@ def test_entry_smoke(ray_session):
     res = to_pandas(entrymod.entry())
     assert len(res) > 0
     assert "bucket_ts" in res.columns
+
+
+def test_trimmed_catalog_functions_still_run(ray_session):
+    """The 50-row catalog hardening removed four redundant rows (their plans
+    are fully gated by *_checked twins), but the functions stay public API —
+    keep them runnable so they can't silently rot."""
+    from tsmp_ray.pipelines.queries import (q_dist_profile, q_knn_ivf, q_pmp,
+                                            q_valmod)
+
+    for fn, col in ((q_knn_ivf, "query_id"), (q_pmp, "w"),
+                    (q_valmod, "best_w"), (q_dist_profile, "window_idx")):
+        got = to_pandas(fn(SF))
+        assert len(got) > 0, fn.__name__
+        assert col in got.columns, (fn.__name__, list(got.columns))

@@ -226,7 +226,9 @@ def test_mp_meat_data_salient_digests():
     assert abs(float(prof.mp[fin].sum()) - 96962.6) < 15.0
     sal = salient_subsequences(prefix, prof)
     assert len(sal["indexes"]) == 27  # round(12000 / 448)
-    # the selection rediscovers in-prefix ground-truth labels exactly
+    # the selection rediscovers in-prefix ground-truth labels exactly —
+    # and the pinned values really ARE fixture labels, not stale constants
+    assert {1345, 8961, 10753} <= set(labels.tolist())
     assert {1345, 8961, 10753} <= set(sal["indexes"].tolist())
 
 

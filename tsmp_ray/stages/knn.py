@@ -33,9 +33,16 @@ def _stack(col) -> np.ndarray:
     only; ragged input would be a data bug, asserted below)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    # list_flatten silently DROPS null rows, which would pass the divisibility
+    # check below (e.g. 64 nulls at d=64) and row-shift the whole matrix —
+    # reject nulls loudly instead of emitting garbage cosines
+    if col.null_count:
+        raise ValueError(
+            f"embedding column has {col.null_count} null row(s)")
     flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
     n = len(col)
-    assert n > 0 and flat.size % n == 0, "ragged embedding column"
+    if n == 0 or flat.size % n:
+        raise ValueError("ragged embedding column")
     return flat.astype(np.float64, copy=False).reshape(n, -1)
 
 

@@ -30,7 +30,7 @@ from ..config import DEFAULT_EZ, EngineConfig, exclusion_zone
 from ..kernels.mpx import mpx_diagonals, prepare_series
 from ..kernels.profile_types import MatrixProfile, merge_min
 from ..kernels.stomp import stomp
-from .signals import SIGNAL_COLUMNS
+from .signals import SIGNAL_COLUMNS, repeat_labels
 
 PROFILE_SCHEMA = pa.schema(
     [
@@ -52,9 +52,7 @@ def _const_str(value: str, p: int) -> pa.Array:
     """O(1) constant string column (dictionary-encoded, then cast to match
     PROFILE_SCHEMA) — building ['v']*p Python lists dominated kernel wall
     time for short conversations."""
-    dict_arr = pa.DictionaryArray.from_arrays(
-        pa.array(np.zeros(p, dtype=np.int32)), pa.array([value]))
-    return dict_arr.cast(pa.string())
+    return repeat_labels([value], [p])
 
 
 def profile_to_rows(conv_id: str, signal: str, prof: MatrixProfile) -> pa.Table:
@@ -107,10 +105,6 @@ class ProfileKernel:
         zone = exclusion_zone(self.w, self.ez)
         return mpx_diagonals(state, np.arange(zone + 1, state.p), ez=self.ez)
 
-    def _one(self, conv_id: str, series: np.ndarray, signal: str) -> pa.Table | None:
-        prof = self._one_profile(series)
-        return None if prof is None else profile_to_rows(conv_id, signal, prof)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         # accumulate numpy parts and build ONE Arrow table per batch: a
         # per-(conv, signal) pa.table + concat_tables costs tens of µs per
@@ -149,17 +143,11 @@ class ProfileKernel:
                                    else np.full(p, -1, dtype=np.int64))
         if not group_conv:
             return PROFILE_SCHEMA.empty_table()
-        lens = np.asarray([len(a) for a in group_widx], dtype=np.int64)
-        idx = pa.array(np.repeat(np.arange(len(lens), dtype=np.int32), lens))
-
-        def rep(values: list[str]) -> pa.Array:
-            return pa.DictionaryArray.from_arrays(
-                idx, pa.array(values)).cast(pa.string())
-
+        lens = [len(a) for a in group_widx]
         return pa.table(
             {
-                "conv_id": rep(group_conv),
-                "signal": rep(group_sig),
+                "conv_id": repeat_labels(group_conv, lens),
+                "signal": repeat_labels(group_sig, lens),
                 "w": pa.array(np.concatenate(group_w)),
                 "window_idx": pa.array(np.concatenate(group_widx)),
                 "mp": pa.array(np.concatenate(vals["mp"])),

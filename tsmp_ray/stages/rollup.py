@@ -38,7 +38,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import TIERS
-from .signals import SIGNAL_COLUMNS
+from .signals import SIGNAL_COLUMNS, repeat_labels
 
 PARTIAL_COLUMNS = ["conv_id", "signal", "bucket_ts", "n", "sum_v", "min_v",
                    "max_v", "sumsq", "first_ts", "first_v", "last_ts", "last_v"]
@@ -412,17 +412,11 @@ def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
                     group_len.append(len(emit["bucket_ts"]))
         if not group_len:
             return _TIERS_COMBINED_SCHEMA.empty_table()
-        lens = np.asarray(group_len, dtype=np.int64)
-        idx = pa.array(np.repeat(np.arange(len(lens), dtype=np.int32), lens))
-
-        def rep(values: list[str]) -> pa.Array:
-            return pa.DictionaryArray.from_arrays(
-                idx, pa.array(values)).cast(pa.string())
-
-        out = {"conv_id": rep(group_conv), "signal": rep(group_sig)}
+        out = {"conv_id": repeat_labels(group_conv, group_len),
+               "signal": repeat_labels(group_sig, group_len)}
         for c in _TIER_EMIT_COLS:
             out[c] = pa.array(np.concatenate(cols[c]))
-        out["tier"] = rep(group_tier)
+        out["tier"] = repeat_labels(group_tier, group_len)
         return pa.table(out).cast(_TIERS_COMBINED_SCHEMA)
 
     combined = ds_packed.map_batches(_all, batch_format="pyarrow",

@@ -34,6 +34,17 @@ import pyarrow.compute as pc
 SIGNAL_COLUMNS = ("ts_delta", "text_len", "tool_call")
 
 
+def repeat_labels(values: list[str], lens) -> pa.Array:
+    """Dictionary-encoded string column: ``values[i]`` repeated ``lens[i]``
+    times. O(total) int32 index array + O(len(values)) string storage — the
+    shared building block for batched per-group emits (building ['v']*n
+    Python lists dominated wall time for small groups)."""
+    idx = pa.array(np.repeat(np.arange(len(values), dtype=np.int32),
+                             np.asarray(lens, dtype=np.int64)))
+    return pa.DictionaryArray.from_arrays(idx, pa.array(values)).cast(
+        pa.string())
+
+
 def add_turn_features(batch: pa.Table) -> pa.Table:
     """Vectorized per-batch features; keeps (conv_id, turn_idx, ts) keys."""
     text_len = pc.cast(pc.utf8_length(batch["text"]), pa.float64())
