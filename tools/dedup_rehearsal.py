@@ -15,10 +15,24 @@ from a range Dataset: nothing corpus-sized on the driver. Usage:
 """
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# sandbox perf rule (CLAUDE.md): every entry point that times Ray work must
+# set the malloc/hugetlb tuning BEFORE ray.init — glibc reads these only at
+# process start, so re-exec once if unset (same mechanism as bench.py).
+_MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": "1073741824",
+    "MALLOC_TRIM_THRESHOLD_": "1073741824",
+    "RAY_idle_worker_killing_time_threshold_ms": "600000",
+    "GLIBC_TUNABLES": "glibc.malloc.hugetlb=1",
+}
+if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
+    os.environ.update(_MALLOC_TUNING)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import numpy as np
 import pyarrow as pa
@@ -67,16 +81,19 @@ def main():
 
     # 2. both verify plans at the many-doc shape: the default broadcast
     # (candidate texts are the near-dup subset — small) and the forced
-    # salted hash-join (what the gate switches to past the 256 MB budget)
-    t0 = time.time()
-    pairs = dd.minhash_lsh_dedup(ds, threshold=0.5).materialize()
-    wall_bc = time.time() - t0
-    n_pairs = pairs.count()
-    t0 = time.time()
-    pairs_j = dd.minhash_lsh_dedup(ds, threshold=0.5,
-                                   force_join=True).materialize()
-    wall_join = time.time() - t0
-    n_pairs_j = pairs_j.count()
+    # salted hash-join (what the gate switches to past the 256 MB budget).
+    # best-of-2 per plan, interleaved (single-shot timings are noise in this
+    # sandbox — CLAUDE.md perf rule)
+    walls: dict[str, list[float]] = {"broadcast": [], "join": []}
+    counts: dict[str, int] = {}
+    for _rep in range(2):
+        for plan, kw in (("broadcast", {}), ("join", {"force_join": True})):
+            t0 = time.time()
+            pairs = dd.minhash_lsh_dedup(ds, threshold=0.5, **kw).materialize()
+            walls[plan].append(time.time() - t0)
+            counts[plan] = pairs.count()
+    wall_bc, wall_join = min(walls["broadcast"]), min(walls["join"])
+    n_pairs, n_pairs_j = counts["broadcast"], counts["join"]
 
     expect_planted = sum(1 for i in range(0, N_DOCS - 1, DUP_EVERY)
                          if (i + 1) % DUP_EVERY == 1)

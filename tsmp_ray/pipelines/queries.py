@@ -292,81 +292,18 @@ WHERE m.rn = 1 AND disc.rn = 1
 """
 
 
-def fluss_cac_checked_sql(w: int, zone: int, ez: float) -> str:
-    """FLUSS corrected arc counts in pure SQL — gates
-    ``fluss_cac_checked_op``'s production CAC pipeline. Profile index =
+def _fluss_cac_ctes(w: int, zone: int, zf: int) -> str:
+    """The shared FLUSS CAC CTE chain (profile index → arc scatter →
+    windowed cumsum → corrected arc counts), ending in a ``cac`` CTE with
+    columns (conv_id, wi, cac). BOTH fluss oracles must gate the SAME
+    production CAC arithmetic, so they share this builder — only the edge
+    zone ``zf`` and the final selection differ per oracle. Profile index =
     rounded-argmin with smallest-j tie-break (the motifs_checked recipe);
     arcs via a +1/-1 scatter at least/greatest(i, pi) and a windowed
     cumsum; ideal = the beta(2,2) parabola ``6·x·(1-x)·p/3`` with
-    x = wi/(p-1) (identical float64 op order to the op's emit); first/last
-    ``round(w·ez·10)`` positions forced to 1."""
-    from ..config import EPS
-
-    zf = int(round(w * ez * 10 + EPS))
-    return _T + _windows_ctes(w, 2 * w) + f"""
-, d AS (
-  SELECT a.conv_id, a.i AS i, b.i AS j,
-         round(sqrt(sum((a.z - b.z) * (a.z - b.z))), 6) AS dist
-  FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
-                      AND abs(a.i - b.i) > {zone}
-  GROUP BY 1, 2, 3
-),
-pr AS (
-  SELECT conv_id, i, pi FROM (
-    SELECT conv_id, i, j AS pi,
-           row_number() OVER (PARTITION BY conv_id, i
-                              ORDER BY dist, j) AS rn
-    FROM d) WHERE rn = 1
-),
-plen AS (
-  SELECT conv_id, max(n) - {w} + 1 AS p
-  FROM pos WHERE conv_id IN (SELECT DISTINCT conv_id FROM st)
-  GROUP BY 1
-),
-posn AS (
-  SELECT conv_id, p, unnest(generate_series(0, CAST(p - 1 AS BIGINT))) AS wi
-  FROM plen
-),
-scat AS (
-  SELECT conv_id, v, sum(delta) AS delta FROM (
-    SELECT conv_id, least(i, pi) AS v, 1 AS delta FROM pr
-    UNION ALL
-    SELECT conv_id, greatest(i, pi) AS v, -1 AS delta FROM pr
-  ) GROUP BY 1, 2
-),
-arc AS (
-  SELECT q.conv_id, q.p, q.wi,
-         sum(COALESCE(s.delta, 0)) OVER (PARTITION BY q.conv_id
-                                         ORDER BY q.wi) AS arcs
-  FROM posn q LEFT JOIN scat s ON s.conv_id = q.conv_id AND s.v = q.wi
-)
-SELECT conv_id, wi AS window_idx,
-       round(CASE WHEN wi < {zf} OR wi >= p - {zf} THEN 1.0
-                  ELSE least(arcs / (6.0 * (wi / (p - 1.0)) *
-                       (1.0 - wi / (p - 1.0)) * p / 3.0), 1.0)
-             END, 6) AS cac
-FROM arc
-"""
-
-
-def fluss_segments_checked_sql(w: int, zone: int, ez_factor: float = 1.0,
-                               num_segments: int = 3) -> str:
-    """FLUSS segment EXTRACTION in pure SQL — gates
-    ``fluss_segments_checked_op``'s production ``fluss_extract`` loop
-    (/root/reference/R/fluss.R:254-282). The CAC is the fluss_cac_checked
-    arithmetic with edge zone ``round(w·ez_factor)``; the iterative
-    argmin-with-suppression loop unrolls to ``num_segments`` chained
-    levels (the loop count is a query constant): level k picks
-    ``row_number() OVER (ORDER BY cac, wi) = 1`` among positions with
-    cac < 1 that are outside [pick − zone, pick + zone) of EVERY earlier
-    level's pick (the reference's asymmetric mask — one fewer suppressed
-    position on the right). A level with no candidates emits nothing, and
-    since the candidate set only shrinks, later levels are then empty too
-    — exactly the loop's cac ≥ 1 stop rule."""
-    from ..config import EPS
-
-    zf = int(round(w * ez_factor + EPS))
-    sql = _T + _windows_ctes(w, 2 * w) + f"""
+    x = wi/(p-1) (identical float64 op order to the ops' emits); first/last
+    ``zf`` positions forced to 1."""
+    return f"""
 , d AS (
   SELECT a.conv_id, a.i AS i, b.i AS j,
          round(sqrt(sum((a.z - b.z) * (a.z - b.z))), 6) AS dist
@@ -411,6 +348,37 @@ cac AS (
                END, 6) AS cac
   FROM arc
 )"""
+
+
+def fluss_cac_checked_sql(w: int, zone: int, ez: float) -> str:
+    """FLUSS corrected arc counts in pure SQL — gates
+    ``fluss_cac_checked_op``'s production CAC pipeline (arithmetic in
+    :func:`_fluss_cac_ctes`, edge zone ``round(w·ez·10)``)."""
+    from ..config import EPS
+
+    zf = int(round(w * ez * 10 + EPS))
+    return (_T + _windows_ctes(w, 2 * w) + _fluss_cac_ctes(w, zone, zf)
+            + "\nSELECT conv_id, wi AS window_idx, cac FROM cac\n")
+
+
+def fluss_segments_checked_sql(w: int, zone: int, ez_factor: float = 1.0,
+                               num_segments: int = 3) -> str:
+    """FLUSS segment EXTRACTION in pure SQL — gates
+    ``fluss_segments_checked_op``'s production ``fluss_extract`` loop
+    (/root/reference/R/fluss.R:254-282). The CAC is the fluss_cac_checked
+    arithmetic with edge zone ``round(w·ez_factor)``; the iterative
+    argmin-with-suppression loop unrolls to ``num_segments`` chained
+    levels (the loop count is a query constant): level k picks
+    ``row_number() OVER (ORDER BY cac, wi) = 1`` among positions with
+    cac < 1 that are outside [pick − zone, pick + zone) of EVERY earlier
+    level's pick (the reference's asymmetric mask — one fewer suppressed
+    position on the right). A level with no candidates emits nothing, and
+    since the candidate set only shrinks, later levels are then empty too
+    — exactly the loop's cac ≥ 1 stop rule."""
+    from ..config import EPS
+
+    zf = int(round(w * ez_factor + EPS))
+    sql = _T + _windows_ctes(w, 2 * w) + _fluss_cac_ctes(w, zone, zf)
     prev: list[str] = []
     for k in range(num_segments):
         excl = "".join(

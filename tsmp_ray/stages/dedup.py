@@ -150,14 +150,9 @@ def _n_parts(n_rows: int | None = None) -> int:
     of 32 keeps small inputs behaving exactly as before; the 65536 cap
     bounds scheduler metadata (at that point each partition still holds ≥1M
     rows of a ~10¹¹-row input)."""
-    try:
-        import ray
+    from ..config import session_cpus
 
-        cpus = (int(ray.cluster_resources().get("CPU", 8))
-                if ray.is_initialized() else 8)
-    except Exception:  # pragma: no cover — ray import/cluster race
-        cpus = 8
-    parts = max(32, 2 * cpus)
+    parts = max(32, 2 * session_cpus())
     if n_rows:
         parts = max(parts, min(65536, int(n_rows // _TARGET_ROWS_PER_PART) + 1))
     return parts

@@ -21,7 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import DEFAULT_EZ, EPS
+from ..config import DEFAULT_EZ, EPS, session_cpus
 from ..kernels.mining import floss_cac_online
 from ..kernels.stompi import StreamingProfile
 
@@ -128,11 +128,9 @@ class FlossActor:
 
 
 def floss_over_dataset(ds_packed, **kwargs):
-    import ray
-
     # autoscaling ceiling tracks the session (floor 1: a fixed pool equal to
     # session CPUs deadlocks small sessions — CLAUDE.md invariant)
-    cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    cpus = session_cpus(4)
     return ds_packed.map_batches(
         FlossActor, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=16, concurrency=(1, cpus),

@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import DEFAULT_EZ, EngineConfig
+from ..config import DEFAULT_EZ, EngineConfig, session_cpus
 from ..kernels.block_join import blocked_mp
 from ..kernels.mining import (
     av_complexity,
@@ -36,7 +36,13 @@ from ..kernels.mining import (
 from ..kernels.mpx import mpx
 from ..kernels.mstomp import mstomp
 from ..kernels.stompi import StreamingProfile
-from .signals import SIGNAL_COLUMNS
+from .signals import SIGNAL_COLUMNS, repeat_labels
+
+
+def _const_col(value: str, n: int) -> pa.Array:
+    """Constant string column of length ``n`` (dictionary-encoded, O(1)
+    string storage) — the single-label case of :func:`repeat_labels`."""
+    return repeat_labels([value], [n])
 
 
 def _auto_profile(series: np.ndarray, w: int, ez: float = DEFAULT_EZ):
@@ -195,9 +201,7 @@ def _mstomp_table(conv_id: str, res, offset: int = 0) -> pa.Table:
     k_dim = np.repeat(np.arange(1, d + 1, dtype=np.int64), p)
     idx = np.tile(np.arange(offset, offset + p, dtype=np.int64), d)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(d * p, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, d * p),
         "k_dim": pa.array(k_dim),
         "window_idx": pa.array(idx),
         "mp": pa.array(res.mp.reshape(-1)),
@@ -233,8 +237,7 @@ def compute_mstomp(ds_packed, cfg: EngineConfig,
     import ray
 
     thr = cfg.salt_turn_threshold
-    pool = cfg.profile_concurrency or max(
-        2, int(ray.cluster_resources().get("CPU", 8)))
+    pool = cfg.profile_concurrency or session_cpus(2)
     ds_packed = ds_packed.materialize()
     small = ds_packed.filter(expr=f"n_turns <= {thr}")
     out_small = per_conv_stage(small, mstomp_op,
@@ -309,9 +312,7 @@ def stompi_op(conv_id, batch, r, *, w: int, signal: str = "text_len"):
     sp.update(x[cut:])
     p = len(sp.profile.mp)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(p, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, p),
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "mp": pa.array(sp.profile.mp),
         "pi": pa.array(sp.profile.pi.astype(np.int64)),
@@ -343,9 +344,7 @@ def distprofile_op(conv_id, batch, r, *, w: int, signal: str = "text_len",
     dw, _ = dist_profile(x, q, method="weighted", weight=wt)
     p = len(d3)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(p, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, p),
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "d_v3": pa.array(d3),
         "d_weighted": pa.array(dw),
@@ -390,9 +389,7 @@ def _mp_exact_table(conv_id: str, mp: np.ndarray, ok: np.ndarray,
     keep = ok & np.isfinite(mp)
     idx = np.flatnonzero(keep)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(len(idx), dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, len(idx)),
         "window_idx": pa.array(idx.astype(np.int64)),
         "mp": pa.array(np.round(mp[idx], round_dp)),
     }, schema=_MP_EXACT_SCHEMA)
@@ -572,9 +569,7 @@ def chains_checked_op(conv_id, batch, r, *, w: int, zone: int,
     seqs = np.concatenate([np.arange(len(c)) for c in chains_o])
     nodes = np.concatenate(chains_o)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(len(nodes), dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, len(nodes)),
         "chain_start": pa.array(heads.astype(np.int64)),
         "seq": pa.array(seqs.astype(np.int64)),
         "window_idx": pa.array(nodes.astype(np.int64)),
@@ -651,9 +646,7 @@ def fluss_cac_checked_op(conv_id, batch, r, *, w: int, zone: int,
             f"production fluss_cac deviates from oracle-order CAC on conv "
             f"{conv_id}: max|Δ|={worst:.2e} > atol={atol}")
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(p, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, p),
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "cac": pa.array(np.round(cac, round_dp)),
     }, schema=_FLUSS_CAC_SCHEMA)
@@ -717,9 +710,7 @@ def fluss_segments_checked_op(conv_id, batch, r, *, w: int, zone: int,
     if not segs:
         return None
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(len(segs), dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, len(segs)),
         "seg_rank": pa.array(np.arange(len(segs), dtype=np.int64)),
         "window_idx": pa.array(np.asarray(segs, dtype=np.int64)),
     }, schema=_FLUSS_SEG_CHECKED_SCHEMA)
@@ -745,9 +736,7 @@ def annotation_op(conv_id, batch, r, *, w: int, signal: str = "text_len",
         av = np.round(av, round_dp)
     p = len(av)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(p, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, p),
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "av": pa.array(av),
     }, schema=_ANNOT_SCHEMA)
@@ -785,9 +774,7 @@ def pmp_op(conv_id, batch, r, *, windows, signal: str = "text_len"):
         pis.append(res["pmpi"][w].astype(np.int64))
     n = sum(len(a) for a in mps)
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(n, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, n),
         "w": pa.array(np.concatenate(ws)),
         "window_idx": pa.array(np.concatenate(idxs)),
         "mp": pa.array(np.concatenate(mps)),
@@ -819,9 +806,7 @@ def valmod_op(conv_id, batch, r, *, wmin: int, wmax: int,
     res = valmod(x, wmin, wmax)
     p = len(res["mp"])
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(p, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, p),
         "window_idx": pa.array(np.arange(p, dtype=np.int64)),
         "mp_norm": pa.array(res["mp"]),
         "best_w": pa.array(res["w"].astype(np.int64)),
@@ -852,9 +837,7 @@ def salient_op(conv_id, batch, r, *, w: int, ez: float = DEFAULT_EZ,
     if not k:
         return None
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(k, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, k),
         "rank": pa.array(np.arange(k, dtype=np.int64)),
         "index": pa.array(np.asarray(sal["indexes"], dtype=np.int64)),
         "bit_size": pa.array(np.asarray(
@@ -882,9 +865,7 @@ def snippet_op(conv_id, batch, r, *, s_size: int, n_snippets: int = 2,
     res = find_snippet(x, s_size=s_size, n_snippets=n_snippets, w=w)
     k = len(res["snippet_idx"])
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(k, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, k),
         "rank": pa.array(np.arange(k, dtype=np.int64)),
         "snippet_idx": pa.array(np.asarray(res["snippet_idx"],
                                            dtype=np.int64)),
@@ -974,15 +955,9 @@ def abjoin_pair_op(id_a, xa, id_b, xb, *, w: int, signal: str = "text_len"):
         prof = mpx(sa, w, query=sb)
         p = len(prof.mp)
         outs.append(pa.table({
-            "conv_a": pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(p, dtype=np.int32)),
-                pa.array([ia])).cast(pa.string()),
-            "conv_b": pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(p, dtype=np.int32)),
-                pa.array([ib])).cast(pa.string()),
-            "orientation": pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(p, dtype=np.int32)),
-                pa.array([tag])).cast(pa.string()),
+            "conv_a": _const_col(ia, p),
+            "conv_b": _const_col(ib, p),
+            "orientation": _const_col(tag, p),
             "window_idx": pa.array(np.arange(p, dtype=np.int64)),
             "mp": pa.array(prof.mp),
             "pi": pa.array(prof.pi.astype(np.int64)),
@@ -1042,9 +1017,7 @@ def distprof_checked_op(conv_id, batch, r, *, w: int,
             f"{conv_id}: max|Δ|={worst:.2e} > atol={atol}")
     idx = np.flatnonzero(ok & np.isfinite(d))
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(len(idx), dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, len(idx)),
         "window_idx": pa.array(idx.astype(np.int64)),
         "d": pa.array(np.round(d[idx], round_dp)),
     }, schema=_DISTPROF_CHECKED_SCHEMA)
@@ -1126,12 +1099,8 @@ def abjoin_checked_pair_op(id_a, xa, id_b, xb, *, w: int,
                 f"on pair ({ia}, {ib}): max|Δ|={worst:.2e} > atol={atol}")
         idx = np.flatnonzero(oka & np.isfinite(d))
         outs.append(pa.table({
-            "conv_a": pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(len(idx), dtype=np.int32)),
-                pa.array([ia])).cast(pa.string()),
-            "conv_b": pa.DictionaryArray.from_arrays(
-                pa.array(np.zeros(len(idx), dtype=np.int32)),
-                pa.array([ib])).cast(pa.string()),
+            "conv_a": _const_col(ia, len(idx)),
+            "conv_b": _const_col(ib, len(idx)),
             "window_idx": pa.array(idx.astype(np.int64)),
             "mp": pa.array(np.round(d[idx], round_dp)),
         }, schema=_ABJOIN_CHECKED_SCHEMA))
@@ -1268,9 +1237,7 @@ def mstomp_checked_op(conv_id, batch, r, *, w: int, zone: int,
     if not tot:
         return None
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(tot, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, tot),
         "k_dim": pa.array(np.concatenate(ks)),
         "window_idx": pa.array(np.concatenate(idxs)),
         "mp": pa.array(np.concatenate(mps)),
@@ -1329,9 +1296,7 @@ def valmod_checked_op(conv_id, batch, r, *, wmin: int, wmax: int,
             f"{conv_id}: max|Δ|={worst:.2e}")
     idx = np.flatnonzero(np.isfinite(best))
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(len(idx), dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, len(idx)),
         "window_idx": pa.array(idx.astype(np.int64)),
         "mp_norm": pa.array(best[idx]),
         "best_w": pa.array(bw[idx]),
@@ -1385,9 +1350,7 @@ def pmp_checked_op(conv_id, batch, r, *, windows, ez: float = DEFAULT_EZ,
     if not tot:
         return None
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(tot, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, tot),
         "w": pa.array(np.concatenate(ws)),
         "window_idx": pa.array(np.concatenate(idxs)),
         "mp": pa.array(np.concatenate(mps)),
@@ -1474,9 +1437,7 @@ def snippet_checked_op(conv_id, batch, r, *, s_size: int = 16, w: int = 8,
                 f"find_snippet fraction {pf} deviates from oracle-order "
                 f"{of} beyond tie tolerance {tol} on conv {conv_id}")
     return pa.table({
-        "conv_id": pa.DictionaryArray.from_arrays(
-            pa.array(np.zeros(2, dtype=np.int32)),
-            pa.array([conv_id])).cast(pa.string()),
+        "conv_id": _const_col(conv_id, 2),
         "rank": pa.array(np.arange(2, dtype=np.int64)),
         "snippet_idx": pa.array(np.asarray(o_idx, dtype=np.int64)),
         "fraction": pa.array(np.asarray(fracs, dtype=np.float64)),

@@ -119,20 +119,36 @@ def encode_bmpv(frames: list[np.ndarray]) -> bytes:
     return b"".join(parts)
 
 
-def decode_bmpv_frame(payload: bytes, frame_idx: int) -> np.ndarray:
-    """Seek to and decode ONE frame of a BMPV payload (no full-file decode —
-    frame sampling should not pay for the frames it skips)."""
+def decode_bmpv_frames(payload: bytes, frame_idxs) -> list[np.ndarray]:
+    """Decode the requested frames of a BMPV payload in ONE forward pass
+    over the length prefixes (skipped frames cost a 4-byte read each, never
+    a decode). ``frame_idxs`` must be strictly increasing — re-seeking from
+    offset 0 per frame would make a stride sweep O(n_frames²)."""
     if payload[:4] != _BMPV_MAGIC:
         raise ValueError("not a BMPV payload")
     (n,) = struct.unpack_from("<I", payload, 4)
-    if not 0 <= frame_idx < n:
-        raise IndexError(f"frame {frame_idx} out of range ({n} frames)")
-    off = 8
-    for _ in range(frame_idx):
+    want = list(frame_idxs)
+    if any(b <= a for a, b in zip(want, want[1:])):
+        raise ValueError("frame_idxs must be strictly increasing")
+    if want and not 0 <= want[0] <= want[-1] < n:
+        raise IndexError(f"frames {want[0]}..{want[-1]} out of range "
+                         f"({n} frames)")
+    out, wi, off = [], 0, 8
+    for idx in range(n):
+        if wi == len(want):
+            break
         (ln,) = struct.unpack_from("<I", payload, off)
+        if want[wi] == idx:
+            out.append(decode_bmp(payload[off + 4 : off + 4 + ln]))
+            wi += 1
         off += 4 + ln
-    (ln,) = struct.unpack_from("<I", payload, off)
-    return decode_bmp(payload[off + 4 : off + 4 + ln])
+    return out
+
+
+def decode_bmpv_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Seek to and decode ONE frame of a BMPV payload (no full-file decode —
+    frame sampling should not pay for the frames it skips)."""
+    return decode_bmpv_frames(payload, [frame_idx])[0]
 
 
 # ----------------------------------------------------------- synthetic table
@@ -322,12 +338,15 @@ class SampleFrames:
                     raise NotImplementedError(
                         "MP4/AVI decode requires ffmpeg, not present; BMPV "
                         "payloads decode for real, or use fake=True")
-            for f in range(0, nf, self.stride):
+            picks = list(range(0, nf, self.stride))
+            # one forward pass over the container for ALL sampled frames
+            decoded = (decode_bmpv_frames(payload, picks)
+                       if payload is not None else None)
+            for fi, f in enumerate(picks):
                 ids.append(batch["media_id"][i].as_py())
                 frames.append(f)
-                means.append(
-                    float(decode_bmpv_frame(payload, f).mean())
-                    if payload is not None else float("nan"))
+                means.append(float(decoded[fi].mean())
+                             if decoded is not None else float("nan"))
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
@@ -344,9 +363,9 @@ def decode_stage(ds_media, *, fake: bool = False, batch_size: int = 8):
     the stage a real multimodal corpus scales wide — a constant cap of 4
     starved 28 of 32 cores; the floor stays 1 per the small-session
     deadlock note in CLAUDE.md)."""
-    import ray
+    from ..config import session_cpus
 
-    cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    cpus = session_cpus(4)
     return ds_media.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"fake": fake},

@@ -26,7 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import DEFAULT_EZ, EngineConfig, exclusion_zone
+from ..config import (DEFAULT_EZ, EngineConfig, exclusion_zone,
+                      session_cpus)
 from ..kernels.mpx import mpx_diagonals, prepare_series
 from ..kernels.profile_types import MatrixProfile, merge_min
 from ..kernels.stomp import stomp
@@ -268,7 +269,7 @@ def compute_profiles(ds_packed, cfg: EngineConfig):
     """
     import ray
 
-    pool = cfg.profile_concurrency or max(2, int(ray.cluster_resources().get("CPU", 8)))
+    pool = cfg.profile_concurrency or session_cpus(2)
     # one materialization so the size-binned split doesn't re-execute the
     # upstream shuffle three times (at 100 TB this is the packed-series
     # parquet checkpoint each consumer reads back)
