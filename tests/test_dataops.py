@@ -225,6 +225,45 @@ def test_multimodal_codecs_roundtrip():
             decode_bmpv_frame(encode_bmpv(frames), i), f)
 
 
+def test_bmpv_single_pass_multi_frame():
+    """decode_bmpv_frames: one forward pass == per-frame seeks, and the
+    strictly-increasing / bounds contracts are enforced (a stride sweep must
+    never re-scan length prefixes from offset 0 per frame)."""
+    import pytest
+
+    from tsmp_ray.stages.multimodal import (
+        decode_bmpv_frame, decode_bmpv_frames, encode_bmpv,
+    )
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+              for _ in range(9)]
+    pay = encode_bmpv(frames)
+    picks = [0, 2, 3, 8]
+    got = decode_bmpv_frames(pay, picks)
+    assert len(got) == len(picks)
+    for g, i in zip(got, picks):
+        np.testing.assert_array_equal(g, frames[i])
+        np.testing.assert_array_equal(g, decode_bmpv_frame(pay, i))
+    assert decode_bmpv_frames(pay, []) == []
+    with pytest.raises(ValueError):
+        decode_bmpv_frames(pay, [3, 3])  # not strictly increasing
+    with pytest.raises(IndexError):
+        decode_bmpv_frames(pay, [9])  # out of range
+
+
+def test_session_cpus_floor(ray_session):
+    """session_cpus: tracks the live session above the floor, floors below
+    it — the one home for every actor-pool ceiling / task fanout."""
+    import ray
+
+    from tsmp_ray.config import session_cpus
+
+    live = int(ray.cluster_resources().get("CPU"))
+    assert session_cpus(2) == max(2, live)
+    assert session_cpus(live + 100) == live + 100
+
+
 def test_multimodal_plumbing(ray_session):
     import ray
     from tsmp_ray.stages.multimodal import (
