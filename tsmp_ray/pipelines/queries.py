@@ -1627,10 +1627,11 @@ def q_snippets(sf_dir: str):
     distributed per conv (was: first 5 convs on the driver)."""
     from ..stages.mining_stage import per_conv_stage, snippet_op
 
+    s_size = 16
     packed = (pack_series(transcripts_from_events(sf_dir))
-              .filter(expr="n_turns >= 64"))
+              .filter(expr=f"n_turns >= {4 * s_size}"))
     return per_conv_stage(packed, snippet_op,
-                          {"s_size": 16, "n_snippets": 2, "w": 8})
+                          {"s_size": s_size, "n_snippets": 2, "w": 8})
 
 
 def q_multimodal(sf_dir: str):
