@@ -185,6 +185,48 @@ def test_brute_force_topk_matches_numpy(ray_session):
                                    atol=1e-12)
 
 
+def test_stack_rejects_bad_embeddings():
+    import pyarrow as pa
+    import pytest
+
+    from tsmp_ray.stages.knn import _stack
+
+    good = pa.array([[1.0, 2.0], [3.0, 4.0]])
+    np.testing.assert_array_equal(_stack(good), [[1.0, 2.0], [3.0, 4.0]])
+    # row null (list_flatten would drop the row and shift the matrix)
+    with pytest.raises(ValueError, match="null row"):
+        _stack(pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64())))
+    # element null: NOT a row null (null_count == 0 at the column level)
+    # but flattens to NaN and poisons every cosine touching the batch
+    bad_elem = pa.array([[1.0, None], [3.0, 4.0]])
+    assert bad_elem.null_count == 0
+    with pytest.raises(ValueError, match="null element"):
+        _stack(bad_elem)
+    with pytest.raises(ValueError, match="empty"):
+        _stack(pa.array([], type=pa.list_(pa.float64())))
+    with pytest.raises(ValueError, match="ragged"):
+        _stack(pa.array([[1.0, 2.0], [3.0, 4.0, 5.0]]))
+
+
+def test_knn_handles_empty_filtered_batches(ray_session):
+    # an upstream filter can hand partial_topk / probe_batch an empty block;
+    # both must emit typed empty partials instead of raising (review r5)
+    import ray
+
+    from tsmp_ray.stages.knn import brute_force_topk, ivf_topk
+
+    ds = (ray.data.read_parquet(f"{SF}/embeddings.parquet")
+          .filter(expr="vec_id < 6"))
+    pdf = ds.to_pandas().sort_values("vec_id")
+    emb = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+    qids = pdf["vec_id"].to_numpy()[:2]
+    got = brute_force_topk(ds, emb[:2], qids, k=3).to_pandas()
+    assert set(got["query_id"]) == set(qids)
+    got_ivf = ivf_topk(ds, emb[:2], qids, k=3, n_centroids=2,
+                       nprobe=2).to_pandas()
+    assert set(got_ivf["query_id"]) == set(qids)
+
+
 def test_ivf_topk_recall(ray_session):
     import ray
     from tsmp_ray.stages.knn import brute_force_topk, ivf_topk

@@ -834,6 +834,15 @@ def embedding_dedup_lsh(ds_embeddings, *, threshold: float = 0.95,
     planes = rng.standard_normal((n_tables, dim, n_planes))
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            emb = batch["embedding"]
+            return pa.table({
+                "table": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "embedding": (emb.combine_chunks()
+                              if isinstance(emb, pa.ChunkedArray) else emb),
+            })
         m = _stack_norm(batch["embedding"])
         ids = batch["vec_id"].to_numpy().astype(np.int64)
         tabs, bucks, docs, embs = [], [], [], []

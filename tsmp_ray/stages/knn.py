@@ -39,11 +39,27 @@ def _stack(col) -> np.ndarray:
     if col.null_count:
         raise ValueError(
             f"embedding column has {col.null_count} null row(s)")
-    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(col)
+    # a null ELEMENT ([1.0, null]) is NOT a row null — col.null_count above is
+    # 0 for it — but it flattens to NaN and NaN-poisons every cosine touching
+    # the batch; reject it just as loudly
+    if flat.null_count:
+        raise ValueError(
+            f"embedding lists contain {flat.null_count} null element(s)")
     n = len(col)
-    if n == 0 or flat.size % n:
+    if n == 0:
+        # callers skip empty batches (can't infer d from an empty list column)
+        raise ValueError("empty embedding batch")
+    arr = flat.to_numpy(zero_copy_only=False)
+    if arr.size % n:
         raise ValueError("ragged embedding column")
-    return flat.astype(np.float64, copy=False).reshape(n, -1)
+    return arr.astype(np.float64, copy=False).reshape(n, -1)
+
+
+def _empty_partials() -> pa.Table:
+    return pa.table({"query_id": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "cosine": pa.array([], pa.float64())})
 
 
 def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
@@ -62,6 +78,8 @@ def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
                     np.asarray(query_ids)))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partials()
         q, qids = ray.get(qref)  # broadcast read (plasma, zero-copy numpy)
         m = _normalize(_stack(batch["embedding"]))
         vec_ids = batch["vec_id"].to_numpy()
@@ -158,6 +176,8 @@ def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
     bqref = ray.put((cent, q, qids, mask))
 
     def probe_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partials()
         cent_m, qm, qi_all, pmask = ray.get(bqref)  # plasma broadcast read
         m = _normalize(_stack(batch["embedding"]))
         vec_ids = batch["vec_id"].to_numpy()
@@ -179,9 +199,7 @@ def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
                 out_v.append(vb[order])
                 out_c.append(cos[r][order])
         if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "vec_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _empty_partials()
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),

@@ -261,11 +261,16 @@ def _parallel_block_meta(ds):
 def compute_profiles(ds_packed, cfg: EngineConfig):
     """Packed series Dataset -> profile Dataset, size-binned three ways:
 
-    - **tiny** (n ≤ ``TINY_TURNS``): ``TINY_BATCH`` convs per task — their
-      O(n²) kernels are too small to pay one task each at 10⁸-conv scale;
-    - **mid**: one conv per task (Zipf load balancing — the scheduler sees
-      real units of work);
-    - **big** (n > salt_turn_threshold): diagonal-sharded across tasks.
+    - **tiny** (n ≤ ``tiny_cut`` = min(``TINY_TURNS``, salt_turn_threshold)):
+      ``TINY_BATCH`` convs per task — their O(n²) kernels are too small to
+      pay one task each at 10⁸-conv scale;
+    - **mid** (tiny_cut < n ≤ ``heavy_cut``): one conv per BATCH (per task
+      too only when ``GRAFT_MID_SPLIT=1``; default off — see
+      ``MID_ONE_ROW_BLOCKS``);
+    - **big** (n > ``heavy_cut`` = min(``HEAVY_TURNS``, salt_turn_threshold),
+      i.e. GRAFT_HEAVY_TURNS dominates under the default config): sharded
+      across tasks — blocked-BLAS row STRIPS for w ≤ 32, diagonal ranges
+      otherwise (see ``_sharded_profiles_ds``).
     """
     import ray
 

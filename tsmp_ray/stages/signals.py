@@ -35,10 +35,12 @@ SIGNAL_COLUMNS = ("ts_delta", "text_len", "tool_call")
 
 
 def repeat_labels(values: list[str], lens) -> pa.Array:
-    """Dictionary-encoded string column: ``values[i]`` repeated ``lens[i]``
-    times. O(total) int32 index array + O(len(values)) string storage — the
-    shared building block for batched per-group emits (building ['v']*n
-    Python lists dominated wall time for small groups)."""
+    """String column: ``values[i]`` repeated ``lens[i]`` times, built as a
+    dictionary array (O(total) int32 indices + each label stored once) then
+    cast to plain string — the cast DOES decode to O(total) string bytes in
+    the returned column; the saving is CONSTRUCTION cost, not storage
+    (building ['v']*n Python lists dominated wall time for small groups).
+    The shared building block for batched per-group emits."""
     idx = pa.array(np.repeat(np.arange(len(values), dtype=np.int32),
                              np.asarray(lens, dtype=np.int64)))
     return pa.DictionaryArray.from_arrays(idx, pa.array(values)).cast(
