@@ -120,25 +120,41 @@ def _cpu_probe_units_s() -> float:
 
 
 def wait_out_slow_phase(max_wait_sec: int | None = None) -> float:
-    """If the host is in a slow page-fault phase, wait (bounded) for it to
-    lift before timing anything — a slow phase inflates every wall-clock
-    number 3-10× regardless of engine quality. Requires CONSECUTIVE fast
-    probes: the host emits brief fast blips inside multi-minute slow phases,
-    and a single passing probe used to green-light runs that then crawled
-    (the round-2 scaling-measurement failure mode). Env knobs:
-    GRAFT_PROBE_MIN (MB/s, default 150), GRAFT_PROBE_CONSEC (default 3),
-    GRAFT_PROBE_WAIT (sec, default 900). Returns the last probe."""
+    """If the host is in a slow phase, wait (bounded) for it to lift before
+    timing anything — a slow phase inflates every wall-clock number 2-10×
+    regardless of engine quality. Gates on BOTH host pathologies:
+
+    - page-fault speed (``GRAFT_PROBE_MIN``, default 150 MB/s) — the
+      round-2 failure mode, now mostly neutralized by the malloc tuning;
+    - per-core compute speed (``GRAFT_CPU_PROBE_MIN``, default 900
+      units/s) — measured 2026-08-19: the CPU phase alone sat 3× down
+      (probes 280-543 vs the 1200-1600 fast band, STABLE across minutes)
+      while faults read a healthy 6 GB/s, so the fault gate alone
+      green-lit a half-speed graded run.
+
+    Requires CONSECUTIVE fast probes: the host emits brief fast blips
+    inside multi-minute slow phases, and a single passing probe used to
+    green-light runs that then crawled. Env knobs: GRAFT_PROBE_CONSEC
+    (default 3), GRAFT_PROBE_WAIT (sec, default 900 — after the deadline
+    the run proceeds anyway and carries its probes in the JSON).
+    Returns the last fault probe."""
     min_mb_s = float(os.environ.get("GRAFT_PROBE_MIN", "150"))
+    min_cpu = float(os.environ.get("GRAFT_CPU_PROBE_MIN", "900"))
     need = int(os.environ.get("GRAFT_PROBE_CONSEC", "3"))
     if max_wait_sec is None:
         max_wait_sec = int(os.environ.get("GRAFT_PROBE_WAIT", "900"))
     deadline = time.time() + max_wait_sec
-    speed = _fault_probe_mb_s()
-    streak = 1 if speed >= min_mb_s else 0
+
+    def _probe_ok() -> tuple[float, bool]:
+        speed = _fault_probe_mb_s()
+        return speed, speed >= min_mb_s and _cpu_probe_units_s() >= min_cpu
+
+    speed, ok = _probe_ok()
+    streak = 1 if ok else 0
     while streak < need and time.time() < deadline:
         time.sleep(10 if streak else 45)
-        speed = _fault_probe_mb_s()
-        streak = streak + 1 if speed >= min_mb_s else 0
+        speed, ok = _probe_ok()
+        streak = streak + 1 if ok else 0
     return speed
 
 
@@ -266,6 +282,7 @@ def run_bench() -> dict:
     _path, n_turns = ensure_bench_transcripts(sf_dir)  # untimed generation
 
     probe = wait_out_slow_phase()  # untimed, bounded
+    cpu_probe0 = _cpu_probe_units_s()  # phase at run START (end probe below)
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
@@ -331,6 +348,7 @@ def run_bench() -> dict:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / max(core, 1e-9), 1),
         "host_fault_probe_mb_s": round(probe, 1),  # phase context for the run
+        "host_cpu_probe_start_units_s": round(cpu_probe0, 1),
         "host_cpu_probe_units_s": round(_cpu_probe_units_s(), 1),
     }
     ray.shutdown()
