@@ -267,6 +267,81 @@ def test_multimodal_codecs_roundtrip():
             decode_bmpv_frame(encode_bmpv(frames), i), f)
 
 
+def test_png_codec_roundtrip_and_filters():
+    """encode_png/decode_png (the real compressed codec): bit-exact
+    round-trips for gray/RGB/RGBA at odd sizes; chunk-CRC corruption is
+    rejected; and all five scanline filters (plus multi-IDAT streams)
+    decode correctly against an INDEPENDENT vectorized forward-filter
+    encoder — the decoder's unfiltering (cumsum Sub, per-byte Paeth) is
+    checked as the exact inverse, not against itself."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from tsmp_ray.stages.multimodal import _PNG_SIG, decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for shape in [(13, 7), (13, 7, 3), (9, 5, 4), (1, 1, 3), (2, 300, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    # corrupt one byte inside IDAT -> chunk CRC must reject it
+    pay = bytearray(encode_png(rng.integers(0, 256, (6, 6, 3),
+                                            dtype=np.uint8)))
+    idat_off = pay.index(b"IDAT")
+    pay[idat_off + 4] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(pay))
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    def encode_with_filters(img, ftypes):
+        """Forward PNG filtering, implemented independently of decode_png
+        (vectorized where the decoder loops and vice versa), body split
+        across TWO IDAT chunks."""
+        h, w, ch = img.shape
+        stride = w * ch
+        raw = img.reshape(h, stride).astype(int)
+        lines, prev = [], np.zeros(stride, dtype=int)
+        for r in range(h):
+            cur, f = raw[r], ftypes[r % len(ftypes)]
+            a = np.concatenate([np.zeros(ch, int), cur[:-ch]])
+            b = prev
+            c = np.concatenate([np.zeros(ch, int), prev[:-ch]])
+            if f == 0:
+                flt = cur
+            elif f == 1:
+                flt = (cur - a) % 256
+            elif f == 2:
+                flt = (cur - b) % 256
+            elif f == 3:
+                flt = (cur - ((a + b) >> 1)) % 256
+            else:
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                                np.where(pb_ <= pc_, b, c))
+                flt = (cur - pred) % 256
+            lines.append(bytes([f]) + flt.astype(np.uint8).tobytes())
+            prev = cur
+        body = zlib.compress(b"".join(lines))
+        mid = len(body) // 2
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, {3: 2, 4: 6}[ch], 0, 0, 0)
+        return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body[:mid])
+                + chunk(b"IDAT", body[mid:]) + chunk(b"IEND", b""))
+
+    img = rng.integers(0, 256, size=(17, 11, 3), dtype=np.uint8)
+    for ftypes in ([0, 1, 2, 3, 4], [4], [3], [1]):
+        np.testing.assert_array_equal(
+            decode_png(encode_with_filters(img, ftypes)), img)
+    rgba = rng.integers(0, 256, size=(8, 9, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_with_filters(rgba, [4, 2, 1, 3])), rgba)
+
+
 def test_bmpv_single_pass_multi_frame():
     """decode_bmpv_frames: one forward pass == per-frame seeks, and the
     strictly-increasing / bounds contracts are enforced (a stride sweep must
@@ -309,21 +384,27 @@ def test_session_cpus_floor(ray_session):
 def test_multimodal_plumbing(ray_session):
     import ray
     from tsmp_ray.stages.multimodal import (
-        DecodeImage, SampleFrames, decode_bmp, decode_stage, synthetic_media,
+        DecodeImage, SampleFrames, decode_stage, synthetic_media,
     )
 
     tbl = synthetic_media(24, seed=1, real=True)
     ds = ray.data.from_arrow(tbl)
-    # REAL path: the actor pool decodes genuine BMP bytes
+    # REAL path: the actor pool decodes genuine BMP and PNG bytes
     feats = decode_stage(ds, fake=False).to_pandas()
     n_images = sum(1 for k in tbl["kind"].to_pylist() if k == "image")
     assert len(feats) == n_images
     assert all(len(f) == 3 + 3 + 16 for f in feats["feature"])
+    # the generator alternates both real image codecs
+    img_payloads = [p.as_py() for p, k in zip(tbl["payload"], tbl["kind"])
+                    if k.as_py() == "image"]
+    assert any(p[:2] == b"BM" for p in img_payloads)
+    assert any(p[:4] == b"\x89PNG" for p in img_payloads)
     # the distributed features equal a local decode of the same bytes
+    # (whichever codec that row landed on)
+    dec = DecodeImage(fake=False)
     row0 = feats.sort_values("media_id").iloc[0]
     idx0 = tbl["media_id"].to_pylist().index(row0["media_id"])
-    img0 = decode_bmp(tbl["payload"][idx0].as_py())
-    dec = DecodeImage(fake=False)
+    img0 = dec._decode(tbl["payload"][idx0].as_py(), 0, 0)
     small = dec._resize(img0, 16, 16).astype(np.float64)
     want = np.concatenate([small.mean(axis=(0, 1)), small.std(axis=(0, 1)),
                            small.reshape(-1, 3).mean(axis=1)[:16]])
@@ -333,9 +414,9 @@ def test_multimodal_plumbing(ray_session):
     f1 = decode_stage(raw, fake=True).to_pandas().sort_values("media_id")
     f2 = decode_stage(raw, fake=True).to_pandas().sort_values("media_id")
     assert all(np.allclose(x, y) for x, y in zip(f1["feature"], f2["feature"]))
-    # compressed codecs stay a declared stub
+    # codecs needing external libs (JPEG) stay a declared stub
     with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)._decode(b"\x89PNG....", 4, 4)
+        DecodeImage(fake=False)._decode(b"\xff\xd8\xff\xe0jpeg", 4, 4)
     # REAL frame sampling: seeks into BMPV and decodes every 4th frame
     frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"fake": False},
                             batch_format="pyarrow",

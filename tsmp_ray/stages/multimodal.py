@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-Decode is REAL for the container formats the standard library can parse —
-24-bit uncompressed BMP (struct + numpy), PCM WAV (stdlib ``wave``), and a
+Decode is REAL for the formats the standard library can parse — 24-bit
+uncompressed BMP (struct + numpy), 8-bit PNG (zlib inflate + all five row
+filters, gray/RGB/RGBA, non-interlaced), PCM WAV (stdlib ``wave``), and a
 length-prefixed concatenated-BMP video container — so the stages genuinely
-decode bytes end-to-end. Compressed codecs (JPEG/PNG/MP4/Opus) require
-PIL/ffmpeg, which this container does not have: those payloads raise
+decode bytes end-to-end, including a genuinely COMPRESSED image codec.
+Codecs that need external libraries (JPEG/MP4/Opus) raise
 ``NotImplementedError`` (an honest stub, per the task brief), and
 ``fake=True`` substitutes a deterministic payload-seeded decoder so plumbing
 tests can run on arbitrary bytes.
@@ -78,6 +79,115 @@ def decode_bmp(payload: bytes) -> np.ndarray:
                        offset=data_off).reshape(h, stride)[:, :row]
     img = px.reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     return img[::-1] if bottom_up else img
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color type -> samples per pixel
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode an 8-bit image as PNG (non-interlaced, filter 0 on every row,
+    one zlib-compressed IDAT): (h, w) grayscale, (h, w, 3) RGB or
+    (h, w, 4) RGBA uint8. Pure stdlib: the format is chunked
+    (len + type + data + crc32) around a zlib stream of filter-prefixed
+    scanlines — no image library needed."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color = 0
+        body = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        color = 2 if img.shape[2] == 3 else 6
+        body = img
+    else:
+        raise ValueError(f"expected (h,w), (h,w,3) or (h,w,4), got {img.shape}")
+    h, w = img.shape[:2]
+    ch = _PNG_CHANNELS[color]
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),  # filter byte 0 per row
+         body.reshape(h, w * ch)], axis=1)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scanlines.tobytes(), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (gray / RGB / RGBA) to a uint8
+    array ((h, w) for grayscale, else (h, w, ch)). Implements all five
+    scanline filters: None and Up vectorize across the row, Sub is a
+    per-byte-lane cumsum mod 256, Average/Paeth recur on the left pixel so
+    they fall back to a per-byte loop (our own encoder emits filter 0 only;
+    the loop exists for external files). Chunk CRCs are verified."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off, idat, hdr = 8, [], None
+    while off + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, off)
+        typ = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + ln]
+        (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = hdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 \
+            or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/RGBA PNG supported "
+            f"(depth={depth}, color={color}, interlace={interlace})")
+    ch = _PNG_CHANNELS[color]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f, cur = int(filters[r]), rows[r].astype(np.int32)
+        if f == 0:        # None
+            rec = cur
+        elif f == 1:      # Sub: cumsum per byte lane, mod 256
+            rec = (np.cumsum(cur.reshape(w, ch), axis=0, dtype=np.int64)
+                   & 0xFF).astype(np.int32).reshape(stride)
+        elif f == 2:      # Up
+            rec = (cur + prev) & 0xFF
+        elif f == 3:      # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                rec[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:      # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else \
+                    (b if pb_ <= pc_ else c)
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = rec.astype(np.uint8)
+        prev = rec
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
 
 
 def encode_wav(x: np.ndarray, sample_rate: int) -> bytes:
@@ -156,9 +266,10 @@ def decode_bmpv_frame(payload: bytes, frame_idx: int) -> np.ndarray:
 
 def synthetic_media(n: int = 32, seed: int = 0, real: bool = True) -> pa.Table:
     """Deterministic media table. ``real=True`` (default) emits genuinely
-    decodable payloads — BMP images, PCM WAV audio, BMPV video — so the
-    decode stages exercise the real byte parsers; ``real=False`` emits
-    random bytes for the fake-decoder plumbing path."""
+    decodable payloads — alternating BMP/PNG images, PCM WAV audio, BMPV
+    video — so the decode stages exercise the real byte parsers (including
+    the compressed PNG path); ``real=False`` emits random bytes for the
+    fake-decoder plumbing path."""
     rng = np.random.default_rng(seed)
     kinds = rng.choice(["image", "audio", "video"], size=n)
     payloads, w, h, sr, nf = [], [], [], [], []
@@ -175,7 +286,11 @@ def synthetic_media(n: int = 32, seed: int = 0, real: bool = True) -> pa.Table:
         if k == "image":
             wi, hi = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             img = rng.integers(0, 256, size=(hi, wi, 3), dtype=np.uint8)
-            payloads.append(encode_bmp(img))
+            # alternate the two real codecs WITHOUT consuming rng state
+            # (pixels — and every decoded feature downstream — stay
+            # byte-identical to the BMP-only generator)
+            enc = encode_png if len(payloads) % 2 else encode_bmp
+            payloads.append(enc(img))
             w.append(wi); h.append(hi); sr.append(0); nf.append(1)
         elif k == "audio":
             rate = 16000
@@ -216,10 +331,11 @@ def _fake_pixels(payload: bytes, h: int, w: int) -> np.ndarray:
 class DecodeImage:
     """Actor-pool stage: binary payload -> fixed-size feature vector.
 
-    ``fake=False`` (the real path) decodes 24-bit BMP payloads with the
-    pure-numpy parser; other image codecs (JPEG/PNG) raise
-    NotImplementedError — they need PIL/cv2, absent in this container.
-    ``fake=True`` substitutes the deterministic payload-seeded decoder.
+    ``fake=False`` (the real path) decodes 24-bit BMP and 8-bit PNG
+    payloads with the pure-stdlib parsers (gray/RGBA PNGs normalize to
+    RGB); JPEG raises NotImplementedError — it needs PIL/cv2, absent in
+    this container. ``fake=True`` substitutes the deterministic
+    payload-seeded decoder.
     Resize to (out_h, out_w) then emit per-channel mean/std features.
     """
 
@@ -232,9 +348,15 @@ class DecodeImage:
             return _fake_pixels(payload, max(h, 1), max(w, 1))
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+            if img.ndim == 2:                       # gray -> RGB
+                img = np.repeat(img[:, :, None], 3, axis=2)
+            return img[:, :, :3]                    # RGBA -> drop alpha
         raise NotImplementedError(
-            "non-BMP image decode requires PIL/cv2, not present in this "
-            "container; construct with fake=True for the deterministic stub")
+            "JPEG decode requires PIL/cv2, not present in this container; "
+            "BMP and PNG decode for real, or construct with fake=True for "
+            "the deterministic stub")
 
     @staticmethod
     def _resize(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
