@@ -293,10 +293,24 @@ def test_png_codec_roundtrip_and_filters():
     pay[idat_off + 4] ^= 0xFF
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(pay))
+    # truncated/corrupt inputs raise the decoder's ValueError family, never
+    # a bare struct/zlib error: a mid-chunk cut, a missing IDAT, and a
+    # chunk-valid payload whose zlib stream is cut short
+    good = bytes(encode_png(rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)))
+    cut = good.index(b"IDAT") + 8          # inside the IDAT data
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(good[:cut])
 
     def chunk(t, d):
         return (struct.pack(">I", len(d)) + t + d
                 + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="IHDR/IDAT"):
+        decode_png(_PNG_SIG + ihdr + chunk(b"IEND", b""))
+    bad_idat = chunk(b"IDAT", zlib.compress(b"\x00" * 52)[:5])
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(_PNG_SIG + ihdr + bad_idat + chunk(b"IEND", b""))
 
     def encode_with_filters(img, ftypes):
         """Forward PNG filtering, implemented independently of decode_png

@@ -1636,8 +1636,9 @@ def q_snippets(sf_dir: str):
 
 def q_multimodal(sf_dir: str):
     """Image decode over REAL bytes (round-5): the synthetic table carries
-    genuine 24-bit BMP payloads and the actor pool decodes them with the
-    pure-numpy parser (fake=False) — no stub in the driver row."""
+    genuine image payloads alternating per image between 24-bit BMP and
+    zlib-compressed 8-bit PNG, and the actor pool decodes both with the
+    pure-stdlib parsers (fake=False) — no stub in the driver row."""
     import ray
 
     from ..stages.multimodal import decode_stage, synthetic_media

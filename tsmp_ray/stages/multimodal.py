@@ -128,6 +128,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     off, idat, hdr = 8, [], None
     while off + 12 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, off)
+        if off + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
         typ = payload[off + 4 : off + 8]
         data = payload[off + 8 : off + 8 + ln]
         (crc,) = struct.unpack_from(">I", payload, off + 8 + ln)
@@ -150,7 +152,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"(depth={depth}, color={color}, interlace={interlace})")
     ch = _PNG_CHANNELS[color]
     stride = w * ch
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    try:
+        inflated = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # truncated-between-chunks / corrupt stream
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload size mismatch")
     raw = raw.reshape(h, stride + 1)
@@ -273,6 +279,7 @@ def synthetic_media(n: int = 32, seed: int = 0, real: bool = True) -> pa.Table:
     rng = np.random.default_rng(seed)
     kinds = rng.choice(["image", "audio", "video"], size=n)
     payloads, w, h, sr, nf = [], [], [], [], []
+    n_images = 0
     for k in kinds:
         if not real:
             size = int(rng.integers(256, 4096))
@@ -286,10 +293,12 @@ def synthetic_media(n: int = 32, seed: int = 0, real: bool = True) -> pa.Table:
         if k == "image":
             wi, hi = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             img = rng.integers(0, 256, size=(hi, wi, 3), dtype=np.uint8)
-            # alternate the two real codecs WITHOUT consuming rng state
-            # (pixels — and every decoded feature downstream — stay
-            # byte-identical to the BMP-only generator)
-            enc = encode_png if len(payloads) % 2 else encode_bmp
+            # alternate the two real codecs per IMAGE (not per row — a kind
+            # sequence could park every image on one parity) WITHOUT
+            # consuming rng state: pixels, and every decoded feature
+            # downstream, stay byte-identical to the BMP-only generator
+            enc = encode_png if n_images % 2 else encode_bmp
+            n_images += 1
             payloads.append(enc(img))
             w.append(wi); h.append(hi); sr.append(0); nf.append(1)
         elif k == "audio":
