@@ -704,11 +704,16 @@ def snippets_checked_sql(s_size: int, w: int, thr: float = 0.05,
     1; fractions via the reference's total_min−1 tie rule
     (find-snippet.R:118-131). Selected convs = the ``n_sel`` SHORTEST with
     n ≥ 4·s_size (keeps the O(p²) join tiny), matching the op's
-    selection."""
+    selection.
+
+    The multiply-referenced CTEs are ``AS MATERIALIZED``: DuckDB otherwise
+    INLINES each reference (``m`` is read 4×, and each copy re-evaluates
+    the whole vals←left/right_min←alld←dd chain, compounding through
+    m1/m2/jj) — measured 310.8 s → 0.32 s at sf0.01 for identical rows."""
     k = max(int(np.ceil(thr * 2 * s_size)), 1)
     m1 = s_size - w + 1 - 1  # m_sub - 1 (inclusive BETWEEN bounds)
     return _T + f"""
-, sig AS ({SIGNALS_SQL.replace(_T, "")})
+, sig AS MATERIALIZED ({SIGNALS_SQL.replace(_T, "")})
 , lens AS (SELECT conv_id, count(*) AS n FROM sig GROUP BY 1)
 , sel AS (
   SELECT conv_id, n, CAST(ceil(n / {s_size}.0) * {s_size} AS BIGINT) AS npad
@@ -747,13 +752,13 @@ zt AS (
   JOIN sel ON st.conv_id = sel.conv_id
   WHERE st.i <= sel.npad - {w} AND st.sd > 0
 ),
-dd AS (
+dd AS MATERIALIZED (
   SELECT a.conv_id, a.i, b.i AS j,
          sqrt(sum((a.z - b.z) * (a.z - b.z))) AS d
   FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
   GROUP BY 1, 2, 3
 ),
-alld AS (
+alld AS MATERIALIZED (
   SELECT wa.conv_id, wa.i, wb.i AS j,
          CASE WHEN wa.sd > 0 AND wb.sd > 0 THEN dd.d
               ELSE CAST('infinity' AS DOUBLE) END AS d
@@ -769,14 +774,14 @@ outpos AS (
   SELECT conv_id, unnest(generate_series(0, npad - {s_size})) AS o
   FROM sel
 ),
-left_min AS (
+left_min AS MATERIALIZED (
   SELECT d.conv_id, c.s, d.i AS q, o.o, min(d.d) AS dmin
   FROM alld d
   JOIN cand c ON d.conv_id = c.conv_id AND d.i BETWEEN c.s AND c.s + {m1}
   JOIN outpos o ON d.conv_id = o.conv_id AND d.j BETWEEN o.o AND o.o + {m1}
   GROUP BY 1, 2, 3, 4
 ),
-col_min AS (
+col_min AS MATERIALIZED (
   SELECT d.conv_id, c.s, d.j, min(d.d) AS dmin
   FROM alld d
   JOIN cand c ON d.conv_id = c.conv_id AND d.i BETWEEN c.s AND c.s + {m1}
@@ -792,7 +797,7 @@ vals AS (
   UNION ALL
   SELECT conv_id, s, o, dmin FROM right_min
 ),
-m AS (
+m AS MATERIALIZED (
   SELECT conv_id, s, o, round(dmin, 6) AS d
   FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, s, o
                                      ORDER BY dmin) AS rn FROM vals)
