@@ -704,16 +704,15 @@ def snippets_checked_sql(s_size: int, w: int, thr: float = 0.05,
     1; fractions via the reference's total_min−1 tie rule
     (find-snippet.R:118-131). Selected convs = the ``n_sel`` SHORTEST with
     n ≥ 4·s_size (keeps the O(p²) join tiny), matching the op's
-    selection.
-
-    The multiply-referenced CTEs are ``AS MATERIALIZED``: DuckDB otherwise
-    INLINES each reference (``m`` is read 4×, and each copy re-evaluates
-    the whole vals←left/right_min←alld←dd chain, compounding through
-    m1/m2/jj) — measured 310.8 s → 0.32 s at sf0.01 for identical rows."""
+    selection. This was the query that exposed DuckDB's CTE-inlining
+    blow-up (``m`` is read 4×, each copy re-evaluating the whole
+    vals←left/right_min←alld←dd chain: 310.8 s → 0.32 s once shared CTEs
+    materialize — see ``_materialize_shared_ctes``, applied to every
+    oracle at ORACLES build time)."""
     k = max(int(np.ceil(thr * 2 * s_size)), 1)
     m1 = s_size - w + 1 - 1  # m_sub - 1 (inclusive BETWEEN bounds)
     return _T + f"""
-, sig AS MATERIALIZED ({SIGNALS_SQL.replace(_T, "")})
+, sig AS ({SIGNALS_SQL.replace(_T, "")})
 , lens AS (SELECT conv_id, count(*) AS n FROM sig GROUP BY 1)
 , sel AS (
   SELECT conv_id, n, CAST(ceil(n / {s_size}.0) * {s_size} AS BIGINT) AS npad
@@ -752,13 +751,13 @@ zt AS (
   JOIN sel ON st.conv_id = sel.conv_id
   WHERE st.i <= sel.npad - {w} AND st.sd > 0
 ),
-dd AS MATERIALIZED (
+dd AS (
   SELECT a.conv_id, a.i, b.i AS j,
          sqrt(sum((a.z - b.z) * (a.z - b.z))) AS d
   FROM zt a JOIN zt b ON a.conv_id = b.conv_id AND a.k = b.k
   GROUP BY 1, 2, 3
 ),
-alld AS MATERIALIZED (
+alld AS (
   SELECT wa.conv_id, wa.i, wb.i AS j,
          CASE WHEN wa.sd > 0 AND wb.sd > 0 THEN dd.d
               ELSE CAST('infinity' AS DOUBLE) END AS d
@@ -774,14 +773,14 @@ outpos AS (
   SELECT conv_id, unnest(generate_series(0, npad - {s_size})) AS o
   FROM sel
 ),
-left_min AS MATERIALIZED (
+left_min AS (
   SELECT d.conv_id, c.s, d.i AS q, o.o, min(d.d) AS dmin
   FROM alld d
   JOIN cand c ON d.conv_id = c.conv_id AND d.i BETWEEN c.s AND c.s + {m1}
   JOIN outpos o ON d.conv_id = o.conv_id AND d.j BETWEEN o.o AND o.o + {m1}
   GROUP BY 1, 2, 3, 4
 ),
-col_min AS MATERIALIZED (
+col_min AS (
   SELECT d.conv_id, c.s, d.j, min(d.d) AS dmin
   FROM alld d
   JOIN cand c ON d.conv_id = c.conv_id AND d.i BETWEEN c.s AND c.s + {m1}
@@ -797,7 +796,7 @@ vals AS (
   UNION ALL
   SELECT conv_id, s, o, dmin FROM right_min
 ),
-m AS MATERIALIZED (
+m AS (
   SELECT conv_id, s, o, round(dmin, 6) AS d
   FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, s, o
                                      ORDER BY dmin) AS rn FROM vals)
@@ -1771,6 +1770,34 @@ QUERIES = {
     "mstomp": q_mstomp,
 }
 
+def _materialize_shared_ctes(sql: str) -> str:
+    """Mark every non-recursive CTE referenced more than once as
+    ``AS MATERIALIZED``. DuckDB INLINES a CTE at each reference site, so a
+    CTE read k times re-evaluates its entire upstream chain k times,
+    compounding multiplicatively through chained reuse — snippets_checked
+    measured 310.8 s → 0.32 s at sf0.01 for row-identical output, and
+    every oracle below was A/B-verified identical under this rewrite
+    (mstomp 1.2→0.1 s, fluss_segments 2.1→0.2 s, chains 1.8→0.1 s).
+    ``WINDOW w AS (...)`` clauses never match the definition pattern
+    (no leading newline/comma), and self-referencing (recursive) CTEs are
+    skipped — DuckDB cannot materialize them."""
+    import re
+
+    defined = re.findall(r"(?:^|\n|, )(\w+)\s+AS\s*\(", sql)
+    for name in dict.fromkeys(defined):
+        if len(re.findall(rf"\b{name}\b", sql)) - 1 < 2:
+            continue
+        head = re.search(rf"(?:^|\n|, ){name}\s+AS\s*\(", sql)
+        after = sql[head.end():]
+        nxt = re.search(r"\n\)?,?\s*\w+\s+AS\s*\(", after)
+        own_body = after[: nxt.start()] if nxt else after
+        if re.search(rf"\b{name}\b", own_body):  # recursive CTE
+            continue
+        sql = re.sub(rf"(^|\n|, )({name})(\s+AS\s*)\(",
+                     rf"\1\2\3MATERIALIZED (", sql, count=1)
+    return sql
+
+
 ORACLES = {
     "transcripts": _T + " SELECT * FROM transcripts",
     "signals": SIGNALS_SQL,
@@ -1820,3 +1847,6 @@ ORACLES = {
     # exhaustive-probe IVF is exact (see q_knn_ivf_checked) -> same oracle
     "knn_ivf_checked": KNN_SQL,
 }
+# DuckDB inlines multiply-referenced CTEs (re-evaluating their whole
+# upstream chain per reference) — materialize them once, for every oracle
+ORACLES = {k: _materialize_shared_ctes(v) for k, v in ORACLES.items()}
