@@ -33,3 +33,38 @@ def test_register_and_run(ray_session):
     assert out["rr"].between(0, 1).all()
     mp_out = kernel_stage(packed, "matrix_profile", signal="text_len", w=8).to_pandas()
     assert {"conv_id", "idx", "mp", "pi"} <= set(mp_out.columns)
+
+
+def test_materialize_shared_ctes_rules():
+    """The oracle-SQL rewriter: multiply-referenced CTEs get MATERIALIZED,
+    single-reference and self-referencing (recursive) CTEs are left alone,
+    and WINDOW clauses never match the definition pattern — the rules the
+    whole ORACLES dict relies on (row-identity A/B'd per oracle; this pins
+    the regex mechanics against future SQL edits)."""
+    from tsmp_ray.pipelines.queries import ORACLES, _materialize_shared_ctes
+
+    sql = (
+        "WITH RECURSIVE head AS (SELECT 1 AS x)\n"
+        ", shared AS (SELECT x FROM head)\n"
+        ", single AS (SELECT x + 1 AS y FROM shared)\n"
+        ", walk AS (SELECT x FROM shared UNION ALL"
+        " SELECT x + 1 FROM walk WHERE x < 3)\n"
+        "SELECT shared.x, w.x, s.y, avg(shared.x) OVER win\n"
+        "FROM shared, walk w, single s\n"
+        "WINDOW win AS (PARTITION BY shared.x)"
+    )
+    out = _materialize_shared_ctes(sql)
+    # shared: 4 refs -> materialized; walk: self-referencing -> untouched;
+    # single: 1 ref -> untouched; the WITH-head CTE never matches the
+    # definition pattern (documented limitation: generators define shared
+    # CTEs with the ', name AS (' continuation form); WINDOW untouched
+    assert ", shared AS MATERIALIZED (" in out
+    assert out.count("MATERIALIZED") == 1
+    assert "walk AS (" in out and "single AS (" in out
+    assert "head AS (" in out
+    assert "WINDOW win AS (PARTITION" in out
+    # idempotent: marked CTEs no longer match the definition pattern
+    assert _materialize_shared_ctes(out) == out
+    # and the real dict went through it: the known-heavy oracles are marked
+    for name in ("snippets_checked", "mstomp_checked", "chains_checked"):
+        assert "MATERIALIZED" in ORACLES[name], name
