@@ -54,15 +54,23 @@ def test_materialize_shared_ctes_rules():
         "WINDOW win AS (PARTITION BY shared.x)"
     )
     out = _materialize_shared_ctes(sql)
-    # shared: 4 refs -> materialized; walk: self-referencing -> untouched;
-    # single: 1 ref -> untouched; the WITH-head CTE never matches the
-    # definition pattern (documented limitation: generators define shared
-    # CTEs with the ', name AS (' continuation form); WINDOW untouched
+    # shared: 4 refs -> materialized; head: 1 ref (shared's body) ->
+    # untouched; walk: self-referencing -> untouched; single: 1 ref ->
+    # untouched; WINDOW untouched
     assert ", shared AS MATERIALIZED (" in out
     assert out.count("MATERIALIZED") == 1
     assert "walk AS (" in out and "single AS (" in out
     assert "head AS (" in out
     assert "WINDOW win AS (PARTITION" in out
+    # a multiply-referenced WITH-head CTE is covered too, and a WITH-head
+    # that is itself the recursive member stays untouched
+    out2 = _materialize_shared_ctes(
+        "WITH base AS (SELECT 1 AS x)\n, a AS (SELECT x FROM base)\n"
+        "SELECT a.x FROM a, base")
+    assert "WITH base AS MATERIALIZED (" in out2
+    rec = ("WITH RECURSIVE r AS (SELECT 1 AS x UNION ALL"
+           " SELECT x + 1 FROM r WHERE x < 3)\nSELECT * FROM r, r AS r2")
+    assert _materialize_shared_ctes(rec) == rec
     # idempotent: marked CTEs no longer match the definition pattern
     assert _materialize_shared_ctes(out) == out
     # and the real dict went through it: the known-heavy oracles are marked

@@ -1783,17 +1783,18 @@ def _materialize_shared_ctes(sql: str) -> str:
     skipped — DuckDB cannot materialize them."""
     import re
 
-    defined = re.findall(r"(?:^|\n|, )(\w+)\s+AS\s*\(", sql)
-    for name in dict.fromkeys(defined):
+    _def = r"(^|\n|, |\bWITH(?:\s+RECURSIVE)?\s+)"
+    defined = re.findall(_def + r"(\w+)\s+AS\s*\(", sql)
+    for name in dict.fromkeys(n for _, n in defined):
         if len(re.findall(rf"\b{name}\b", sql)) - 1 < 2:
             continue
-        head = re.search(rf"(?:^|\n|, ){name}\s+AS\s*\(", sql)
+        head = re.search(_def + rf"{name}\s+AS\s*\(", sql)
         after = sql[head.end():]
         nxt = re.search(r"\n\)?,?\s*\w+\s+AS\s*\(", after)
         own_body = after[: nxt.start()] if nxt else after
         if re.search(rf"\b{name}\b", own_body):  # recursive CTE
             continue
-        sql = re.sub(rf"(^|\n|, )({name})(\s+AS\s*)\(",
+        sql = re.sub(_def + rf"({name})(\s+AS\s*)\(",
                      rf"\1\2\3MATERIALIZED (", sql, count=1)
     return sql
 
