@@ -34,6 +34,42 @@ def test_register_and_run(ray_session):
     mp_out = kernel_stage(packed, "matrix_profile", signal="text_len", w=8).to_pandas()
     assert {"conv_id", "idx", "mp", "pi"} <= set(mp_out.columns)
 
+    # batched emit == independent per-conv reference (values AND dtypes)
+    from tsmp_ray.kernels.mpx import mpx
+
+    ref = {}
+    for row in packed.to_pandas().itertuples():
+        prof = mpx(np.asarray(row.text_len, dtype=np.float64), 8)
+        ref[row.conv_id] = prof
+    for cid, grp in mp_out.groupby("conv_id"):
+        grp = grp.sort_values("idx")
+        assert np.array_equal(grp["idx"].to_numpy(),
+                              np.arange(len(ref[cid].mp)))
+        np.testing.assert_array_equal(grp["mp"].to_numpy(), ref[cid].mp)
+        np.testing.assert_array_equal(grp["pi"].to_numpy(), ref[cid].pi)
+    assert set(mp_out["conv_id"]) == set(ref)
+
+
+def test_kernel_stage_rejects_inconsistent_keys(ray_session):
+    import ray
+
+    from tsmp_ray.functions.registry import kernel_stage, register_kernel
+    from tsmp_ray.sources.transcripts import synthetic_transcripts
+    from tsmp_ray.stages.signals import pack_series
+
+    flip = {"n": 0}
+
+    @register_kernel("_alternating_keys")
+    def _alt(series):
+        flip["n"] += 1
+        key = "a" if flip["n"] % 2 else "b"
+        return {key: np.zeros(4)}
+
+    tbl = synthetic_transcripts(n_convs=2, seed=3, mean_turns=30)
+    packed = pack_series(ray.data.from_arrow(tbl)).repartition(1)
+    with pytest.raises(Exception, match="returned keys"):
+        kernel_stage(packed, "_alternating_keys").to_pandas()
+
 
 def test_materialize_shared_ctes_rules():
     """The oracle-SQL rewriter: multiply-referenced CTEs get MATERIALIZED,

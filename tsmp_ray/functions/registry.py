@@ -5,9 +5,8 @@ The reference's extension model is R's S3 generic system — users add
 pipes (/root/reference/R/misc.R:1174-1251, utils-pipe.R:1-22). The engine's
 equivalent is a plain registry: register a named per-conversation kernel
 ``fn(series: np.ndarray, **params) -> dict[str, np.ndarray]`` and it becomes
-runnable through the same groupby-apply scaffold as the built-ins
-(``apply_kernel``), including over a packed-series Dataset
-(``kernel_stage``).
+runnable over a packed-series Dataset through the same batched
+map_batches scaffold as the built-ins (``kernel_stage``).
 """
 
 from __future__ import annotations
@@ -15,7 +14,6 @@ from __future__ import annotations
 from collections.abc import Callable
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _REGISTRY: dict[str, Callable] = {}
@@ -47,24 +45,49 @@ def list_kernels() -> list[str]:
 def kernel_stage(ds_packed, name: str, signal: str = "text_len", **params):
     """Run a registered kernel per conversation over a packed-series Dataset.
     The kernel's dict-of-arrays output becomes long rows keyed by
-    (conv_id, idx)."""
+    (conv_id, idx).
+
+    Emits ONE Arrow table per batch (numpy chunks per output key +
+    dictionary-encoded conv_id labels) rather than a pandas frame per
+    conversation — the same batched-emit shape as tiers_from_packed /
+    ProfileKernel, which measured ~6× cheaper on many-conv inputs
+    (BASELINE.md round 5, many-conv subsection). Kernels must return the
+    same key set for every series; a mismatch raises instead of silently
+    NaN-filling like the old per-conv pd.concat did.
+    """
+    from ..stages.signals import repeat_labels
+
     fn = get_kernel(name)
 
     def run(batch: pa.Table) -> pa.Table:
-        frames = []
+        conv_ids: list[str] = []
+        lens: list[int] = []
+        idx_chunks: list[np.ndarray] = []
+        out_chunks: dict[str, list[np.ndarray]] = {}
         for r in range(batch.num_rows):
             series = batch[signal][r].values.to_numpy(zero_copy_only=False) \
                 .astype(np.float64, copy=False)
             out = fn(series, **params)
+            if out_chunks and set(out) != set(out_chunks):
+                raise ValueError(
+                    f"kernel {name!r} returned keys {sorted(out)} for one "
+                    f"conversation but {sorted(out_chunks)} for another")
             n = len(next(iter(out.values())))
-            df = pd.DataFrame({"conv_id": batch["conv_id"][r].as_py(),
-                               "idx": np.arange(n), **out})
-            frames.append(df)
-        if not frames:
+            conv_ids.append(batch["conv_id"][r].as_py())
+            lens.append(n)
+            idx_chunks.append(np.arange(n))
+            for k, v in out.items():
+                out_chunks.setdefault(k, []).append(np.asarray(v))
+        if not conv_ids:
             return pa.table({"conv_id": pa.array([], pa.string()),
                              "idx": pa.array([], pa.int64())})
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                    preserve_index=False)
+        cols: dict[str, pa.Array] = {
+            "conv_id": repeat_labels(conv_ids, lens),
+            "idx": pa.array(np.concatenate(idx_chunks)),
+        }
+        for k, chunks in out_chunks.items():
+            cols[k] = pa.array(np.concatenate(chunks))
+        return pa.table(cols)
 
     return ds_packed.map_batches(run, batch_format="pyarrow", batch_size=8)
 
