@@ -71,6 +71,26 @@ def test_kernel_stage_rejects_inconsistent_keys(ray_session):
         kernel_stage(packed, "_alternating_keys").to_pandas()
 
 
+def test_kernel_stage_rejects_unequal_lengths(ray_session):
+    """Per-key arrays of different lengths within one conversation must
+    raise — the batched per-key concatenation would otherwise silently
+    misalign rows across keys (per-key totals can still agree batch-wide)."""
+    import ray
+
+    from tsmp_ray.functions.registry import kernel_stage, register_kernel
+    from tsmp_ray.sources.transcripts import synthetic_transcripts
+    from tsmp_ray.stages.signals import pack_series
+
+    @register_kernel("_ragged_keys")
+    def _ragged(series):
+        return {"a": np.zeros(5), "b": np.zeros(4)}
+
+    tbl = synthetic_transcripts(n_convs=2, seed=3, mean_turns=30)
+    packed = pack_series(ray.data.from_arrow(tbl)).repartition(1)
+    with pytest.raises(Exception, match="unequal lengths"):
+        kernel_stage(packed, "_ragged_keys").to_pandas()
+
+
 def test_materialize_shared_ctes_rules():
     """The oracle-SQL rewriter: multiply-referenced CTEs get MATERIALIZED,
     single-reference and self-referencing (recursive) CTEs are left alone,
@@ -107,8 +127,26 @@ def test_materialize_shared_ctes_rules():
     rec = ("WITH RECURSIVE r AS (SELECT 1 AS x UNION ALL"
            " SELECT x + 1 FROM r WHERE x < 3)\nSELECT * FROM r, r AS r2")
     assert _materialize_shared_ctes(rec) == rec
+    # a comma-separated multi-entry WINDOW clause: the 2nd+ entries start
+    # with ', ' (the definition alternative) but are masked out — neither
+    # gets MATERIALIZED even when referenced by several OVER clauses
+    multi_win = (
+        "WITH shared AS (SELECT 1 AS x)\n"
+        ", other AS (SELECT 2 AS y)\n"
+        "SELECT avg(s2.x) OVER wa, sum(s2.x) OVER wb, min(s2.x) OVER wb,\n"
+        "  max(shared.x) OVER wa FROM shared, shared AS s2, other\n"
+        "WINDOW wa AS (PARTITION BY shared.x), wb AS (ORDER BY s2.x"
+        " ROWS BETWEEN coalesce(1, 2) PRECEDING AND CURRENT ROW)"
+    )
+    out3 = _materialize_shared_ctes(multi_win)
+    assert "WITH shared AS MATERIALIZED (" in out3
+    assert "wa AS (PARTITION" in out3 and "wb AS (ORDER BY" in out3
+    assert out3.count("MATERIALIZED") == 1
+    import duckdb
+    assert duckdb.sql(out3).fetchall() == duckdb.sql(multi_win).fetchall()
     # idempotent: marked CTEs no longer match the definition pattern
     assert _materialize_shared_ctes(out) == out
+    assert _materialize_shared_ctes(out3) == out3
     # and the real dict went through it: the known-heavy oracles are marked
     for name in ("snippets_checked", "mstomp_checked", "chains_checked"):
         assert "MATERIALIZED" in ORACLES[name], name

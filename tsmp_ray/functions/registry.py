@@ -52,8 +52,10 @@ def kernel_stage(ds_packed, name: str, signal: str = "text_len", **params):
     conversation — the same batched-emit shape as tiers_from_packed /
     ProfileKernel, which measured ~6× cheaper on many-conv inputs
     (BASELINE.md round 5, many-conv subsection). Kernels must return the
-    same key set for every series; a mismatch raises instead of silently
-    NaN-filling like the old per-conv pd.concat did.
+    same key set for every series and equal-length arrays per series; a
+    mismatch raises (within a batch; a cross-batch key drift surfaces as
+    a block-schema mismatch downstream) instead of silently NaN-filling
+    or misaligning rows like a concat of ragged arrays would.
     """
     from ..stages.signals import repeat_labels
 
@@ -72,13 +74,23 @@ def kernel_stage(ds_packed, name: str, signal: str = "text_len", **params):
                 raise ValueError(
                     f"kernel {name!r} returned keys {sorted(out)} for one "
                     f"conversation but {sorted(out_chunks)} for another")
-            n = len(next(iter(out.values())))
+            arrays = {k: np.asarray(v) for k, v in out.items()}
+            n = len(next(iter(arrays.values())))
+            bad = {k: len(v) for k, v in arrays.items() if len(v) != n}
+            if bad:
+                raise ValueError(
+                    f"kernel {name!r} returned arrays of unequal lengths "
+                    f"for one conversation: {bad} vs {n} — per-batch "
+                    f"concatenation would silently misalign rows")
             conv_ids.append(batch["conv_id"][r].as_py())
             lens.append(n)
             idx_chunks.append(np.arange(n))
-            for k, v in out.items():
-                out_chunks.setdefault(k, []).append(np.asarray(v))
+            for k, v in arrays.items():
+                out_chunks.setdefault(k, []).append(v)
         if not conv_ids:
+            # zero-row block: the kernel's output columns are unknowable
+            # without running it, but a 0-row subset-schema block unions
+            # harmlessly (null-fill over no rows) at concat/to_pandas time
             return pa.table({"conv_id": pa.array([], pa.string()),
                              "idx": pa.array([], pa.int64())})
         cols: dict[str, pa.Array] = {

@@ -1778,24 +1778,52 @@ def _materialize_shared_ctes(sql: str) -> str:
     measured 310.8 s → 0.32 s at sf0.01 for row-identical output, and
     every oracle below was A/B-verified identical under this rewrite
     (mstomp 1.2→0.1 s, fluss_segments 2.1→0.2 s, chains 1.8→0.1 s).
-    ``WINDOW w AS (...)`` clauses never match the definition pattern
-    (no leading newline/comma), and self-referencing (recursive) CTEs are
-    skipped — DuckDB cannot materialize them."""
+    ``WINDOW w AS (...)`` clauses are masked out before matching (the
+    second-and-later entries of a comma-separated WINDOW list would
+    otherwise match the ``, name AS (`` definition alternative), and
+    self-referencing (recursive) CTEs are skipped — DuckDB cannot
+    materialize them."""
     import re
 
+    def _mask_windows(s: str) -> str:
+        # blank every `name AS (...)` entry of each WINDOW clause (equal
+        # length, so masked positions == real positions)
+        out = list(s)
+        for m in re.finditer(r"\bWINDOW\b", s):
+            i = m.end()
+            while True:
+                m2 = re.compile(r"\s*\w+\s+AS\s*\(").match(s, i)
+                if not m2:
+                    break
+                j, depth = m2.end(), 1
+                while j < len(s) and depth:
+                    depth += {"(": 1, ")": -1}.get(s[j], 0)
+                    j += 1
+                for p in range(i, j):
+                    if out[p] != "\n":
+                        out[p] = "#"
+                m3 = re.compile(r"\s*,").match(s, j)
+                if not m3:
+                    break
+                i = m3.end()
+        return "".join(out)
+
     _def = r"(^|\n|, |\bWITH(?:\s+RECURSIVE)?\s+)"
-    defined = re.findall(_def + r"(\w+)\s+AS\s*\(", sql)
+    masked = _mask_windows(sql)
+    defined = re.findall(_def + r"(\w+)\s+AS\s*\(", masked)
     for name in dict.fromkeys(n for _, n in defined):
         if len(re.findall(rf"\b{name}\b", sql)) - 1 < 2:
             continue
-        head = re.search(_def + rf"{name}\s+AS\s*\(", sql)
+        head = re.search(_def + rf"{name}\s+AS\s*\(", masked)
         after = sql[head.end():]
         nxt = re.search(r"\n\)?,?\s*\w+\s+AS\s*\(", after)
         own_body = after[: nxt.start()] if nxt else after
         if re.search(rf"\b{name}\b", own_body):  # recursive CTE
             continue
-        sql = re.sub(_def + rf"({name})(\s+AS\s*)\(",
-                     rf"\1\2\3MATERIALIZED (", sql, count=1)
+        defn = re.match(_def + rf"({name})(\s+AS\s*)\(", sql[head.start():])
+        sql = (sql[: head.start()] + defn.expand(r"\1\2\3MATERIALIZED (")
+               + sql[head.start() + defn.end():])
+        masked = _mask_windows(sql)
     return sql
 
 
