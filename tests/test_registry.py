@@ -91,6 +91,24 @@ def test_kernel_stage_rejects_unequal_lengths(ray_session):
         kernel_stage(packed, "_ragged_keys").to_pandas()
 
 
+def test_kernel_stage_empty_input(ray_session):
+    """Zero-conversation input returns zero rows without erroring (Ray
+    short-circuits a fully-empty dataset to a schema-less empty frame
+    before the batch fn runs — the early return inside `run` covers the
+    mixed empty-block case, which Ray does not surface deterministically)."""
+    import ray
+
+    from tsmp_ray.functions.registry import kernel_stage
+    from tsmp_ray.sources.transcripts import synthetic_transcripts
+    from tsmp_ray.stages.signals import pack_series
+
+    tbl = synthetic_transcripts(n_convs=2, seed=3, mean_turns=30)
+    packed = pack_series(ray.data.from_arrow(tbl)) \
+        .filter(expr="n_turns > 1000000")
+    out = kernel_stage(packed, "zscore").to_pandas()
+    assert len(out) == 0
+
+
 def test_materialize_shared_ctes_rules():
     """The oracle-SQL rewriter: multiply-referenced CTEs get MATERIALIZED,
     single-reference and self-referencing (recursive) CTEs are left alone,
