@@ -510,12 +510,22 @@ def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
 
 
 def valmod(data: np.ndarray, window_min: int, window_max: int,
+           query: np.ndarray | None = None,
            ez: float = DEFAULT_EZ, lb: bool = False,
            heap_size: int = 50) -> dict:
     """Variable-length motif discovery over [window_min, window_max]
     (/root/reference/R/valmod.R:52-702): per-window MP, length-normalized by
     ``1/sqrt(w)`` for cross-window comparability, elementwise min across
     windows keeping the best window per index.
+
+    ``query`` switches to JOIN similarity (valmod.R:56-62): per window the
+    profile is the data-side AB-join (``mp[j] = min_i d(data_j, query_i)``,
+    no exclusion zone), same min-over-windows fold. Equal lengths required
+    (valmod.R:90-92 stops on different sizes too). The join always runs the
+    exact sweep — the heap pruning's trivial-match geometry is self-join
+    only, so ``lb`` is ignored here; the reference's lb=TRUE join leaves
+    non-certified entries un-updated (partial VALMP), ours is exact at
+    every entry.
 
     ``lb=True`` runs the VALMOD heap lower-bound pruning (valmod.R:121-128,
     328-470; Linardi et al., SIGMOD'18): a full STOMP pass at a window
@@ -539,7 +549,13 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
     uncertified-query MASS recomputes plus O(p²w) BLAS re-captures cost
     more than the O(p²)-vectorized full profile it avoids. ``lb=True``
     remains for reference-algorithm parity."""
-    if lb:
+    if query is not None:
+        query = np.asarray(query, dtype=np.float64)
+        if len(query) != len(data):
+            raise ValueError(
+                "valmod join requires equal-length series "
+                "(valmod.R:90-92: different sizes not implemented)")
+    elif lb:
         return _valmod_pruned(data, window_min, window_max, ez, heap_size)
     p_out = len(data) - window_min + 1
     best = np.full(p_out, np.inf)
@@ -553,7 +569,8 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
         p = len(data) - w + 1
         if p < 2:
             break
-        prof = mpx(data, w, ez=ez)
+        prof = mpx(data, w, ez=ez) if query is None \
+            else mpx(data, w, query=query)
         finite = prof.mp[np.isfinite(prof.mp)]
         if len(finite):
             evolution[w - window_min] = float(finite.min()) ** 2 * np.sqrt(1.0 / w)

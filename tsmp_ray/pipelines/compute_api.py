@@ -67,7 +67,8 @@ def tsmp(data: np.ndarray, window_size: int, mode: str = "stomp",
         "mstomp": lambda: mstomp(data, window_size, ez=ez, **kwargs),
         "simple": lambda: simple_fast(data, window_size, query=query, ez=ez),
         "valmod": lambda: valmod(data, window_size,
-                                 kwargs.get("window_max", window_size + 8), ez=ez),
+                                 kwargs.get("window_max", window_size + 8),
+                                 query=query, ez=ez),
         "pmp": lambda: pmp(data, kwargs.get("windows", [window_size]), ez=ez),
     }
     if mode not in dispatch:
