@@ -347,6 +347,197 @@ def test_valmod_toy_digests_and_join(toy):
         valmod(ref, 30, 40, query=qe[:300])
 
 
+def test_stamps_directional_checksums(toy):
+    """test-stamps.R:103-112 ("Basic Results") on mp_toy_data[1:400, 1],
+    w=40, default ez=1/2 — ALL EIGHT reference checksums reproduce
+    exactly, including the directional (left/right) profiles and their
+    Inf layouts (first/last zone+1 = 21 entries undefined) and the
+    1-based index checksums. This pins mp/pi/lmp/lpi/rmp/rpi parity on
+    the reference's own data in one shot; test-stamps.R:126-129 ("Scrimp
+    Results") rides along since our scrimp's converged profile equals
+    stomp's."""
+    from tsmp_ray.kernels.scrimp import scrimp
+    from tsmp_ray.kernels.stomp import stomp
+
+    data, _ = toy
+    x = data[:400, 0].astype(np.float64)
+    prof = stomp(x, 40)
+
+    def cks(v, dp):
+        v = np.asarray(v, dtype=np.float64)
+        return round(float(v.sum() / v.std(ddof=1)), dp)
+
+    assert cks(prof.mp, 3) == 1091.226
+    assert int((np.where(~np.isfinite(prof.rmp))[0] + 1).sum()) == 7371
+    assert int((np.where(~np.isfinite(prof.lmp))[0] + 1).sum()) == 231
+    assert cks(prof.rmp[0:155], 3) == 445.228      # rmp[1:155], all finite
+    assert cks(prof.lmp[21:150], 3) == 284.888     # lmp[22:150]
+    assert cks(prof.pi + 1, 3) == 497.011
+    assert cks(prof.rpi[0:340] + 1, 3) == 1640.354  # rpi[1:340]
+    assert cks(prof.lpi[21:361] + 1, 3) == 352.708  # lpi[22:361]
+
+    sc = scrimp(x, 40)
+    assert cks(sc.mp, 2) == 1091.23
+    assert cks(sc.pi + 1, 3) == 497.011
+
+
+def test_simple_fast_known_answers(toy):
+    """test-simple.R:42-51 on mp_toy_data (3 dims), w=30, self over rows
+    1:250 and join vs rows 251:500. The reference's SiMPle profile is the
+    SQUARED distance — simple.R:160-215 never takes the sqrt — while this
+    engine emits euclidean like every other kernel (documented deviation),
+    so the constants are compared against mp². Join reproduces all four
+    exactly; self has one argmin-tie flip (sum(pi) 23879 vs 23878, mp sum
+    +0.05), asserted with that one-tie tolerance."""
+    from tsmp_ray.kernels.simple import simple_fast
+
+    data, _ = toy
+    data = data.astype(np.float64)
+    w = 30
+
+    sp = simple_fast(data[:250, :], w)
+    sq = sp.mp ** 2
+    assert abs(float(sq.sum()) - 419.509) < 0.1          # one tie flip
+    assert round(float(np.std(sq, ddof=1)), 3) == 0.841
+    assert abs(int((sp.pi + 1).sum()) - 23878) <= 2
+    assert abs(float(np.std(sp.pi + 1, ddof=1)) - 64.977) < 0.02
+
+    sj = simple_fast(data[:250, :], w, query=data[250:500, :])
+    sq = sj.mp ** 2
+    assert round(float(sq.sum()), 3) == 908.248
+    assert round(float(np.std(sq, ddof=1)), 3) == 2.263
+    assert int((sj.pi + 1).sum()) == 24981
+    assert round(float(np.std(sj.pi + 1, ddof=1)), 3) == 61.021
+
+
+def test_multidim_motif_search_known_answers(toy):
+    """test-mstomp-search.R:11-18 on mp_toy_data[1:200, ], w=30: the
+    guided (n_dim=3) top motif is (45, 108) spanning dims (1,2,3); the
+    unconstrained top motif is (33, 102) on 1 dim (MDL dimension pick).
+    The reference returns a single motif in both modes; its first motif
+    is pinned here exactly (1-based)."""
+    from tsmp_ray.kernels.mining import find_multidim_motifs
+    from tsmp_ray.kernels.mstomp import mstomp
+
+    data, w = toy
+    data = data[:200, :].astype(np.float64)
+    ms = mstomp(data, w)
+    g = find_multidim_motifs(data, ms, n_motifs=1, n_dim=3)
+    assert [j + 1 for j in g[0]["motifs"]] == [45, 108]
+    assert g[0]["n_dim"] == 3
+    assert sorted(dd + 1 for dd in g[0]["dims"]) == [1, 2, 3]
+    u = find_multidim_motifs(data, ms, n_motifs=1)
+    assert [j + 1 for j in u[0]["motifs"]] == [33, 102]
+    assert u[0]["n_dim"] == 1
+
+
+def test_stomp_search_motif_neighbors(toy):
+    """test-stomp-search.R:12-16: beyond the motif pairs already pinned in
+    test_motif_known_answer_toy, the reference also pins the neighbor
+    sets — motif 1 has exactly one neighbor, motif 2's neighbors are
+    c(148, 77) in nearest-first order."""
+    from tsmp_ray.kernels.mining import find_motifs
+    from tsmp_ray.kernels.stomp import stomp
+
+    data, w = toy
+    x = data[:200, 0].astype(np.float64)
+    prof = stomp(x, w)
+    motifs = find_motifs(x, prof, n_motifs=2)
+    assert len(motifs[0]["neighbors"]) == 1
+    assert [j + 1 for j in motifs[1]["neighbors"]] == [148, 77]
+
+
+def test_salient_primitive_known_answers(toy):
+    """test-salient.R:23-31 primitives on mp_toy_data[, 1]: get_bitsize of
+    the sign vector at mismatch_bit=10 (5490), discrete_norm fed RAW data
+    extremes sums to 546 (symbols may leave 1..2^n by design — the
+    reference never clips, misc.R:929), discrete_norm_pre bounds at w=100
+    (3.3845 / -3.4308), and the 10 candidate indices of get_sorted_idx on
+    the w=30 profile equal the reference's set (order is OS-dependent in
+    the reference's own test, so set equality is the pinned contract)."""
+    from tsmp_ray.kernels.salient import (
+        _bitsize, discrete_norm, discrete_norm_pre, get_sorted_idx,
+    )
+    from tsmp_ray.kernels.stomp import stomp
+
+    data, _ = toy
+    x = data[:, 0].astype(np.float64)
+
+    assert _bitsize((x > 0).astype(np.float64), 10) == 5490
+    assert int(discrete_norm(x, 3, x.max(), x.min()).sum()) == 546
+    mn, mx = discrete_norm_pre(x, 100)
+    assert round(mx, 4) == 3.3845
+    assert round(mn, 4) == -3.4308
+    prof = stomp(x, 30)
+    got = {int(j) + 1 for j in get_sorted_idx(prof.mp, 10)}
+    assert got == {36, 408, 37, 407, 35, 200, 9, 199, 10, 406}
+
+
+def test_misc_function_checksums(toy):
+    """test-misc.R:44-49 on mp_toy_data[1:100, 1], w=10: the ed_corr /
+    normalize / paa / ipaa checksums reproduce exactly through the
+    production movstats kernels."""
+    from tsmp_ray.kernels.movstats import ed_corr, ipaa, normalize, paa
+    from tsmp_ray.kernels.stomp import stomp
+
+    data, _ = toy
+    x = data[:100, 0].astype(np.float64)
+    prof = stomp(x, 10)
+
+    def cks(v, dp):
+        v = np.asarray(v, dtype=np.float64)
+        return round(float(v.sum() / v.std(ddof=1)), dp)
+
+    assert cks(ed_corr(prof.mp, 10), 3) == 695.805
+    assert cks(normalize(x), 3) == 168.874
+    pt = paa(x, 2)
+    assert cks(pt, 3) == 155.269
+    assert cks(ipaa(pt, 2), 3) == 312.118
+
+
+def test_annotation_vectors_known_answers():
+    """test-annotation.R:37-43 on mp_test_data$train[1:1000], w=50: four of
+    the five annotation-vector checksums reproduce exactly through the
+    production kernels. av_stop_word's constant (1336.86) encodes the
+    reference's default-path quirk — ``exclusion_zone`` resolves to
+    ``.mp$ez``, the FRACTION 0.5, used directly as an index offset
+    (annotations.R:213-218: R's descending numeric range + index
+    truncation zeroes exactly {i-1, i}) — reproduced here by emulating
+    that suppression over the production distance profile; the production
+    kernel's intended round(w·ez+eps) zone is digest-pinned beside it."""
+    from tsmp_ray.kernels.mining import (
+        av_complexity, av_hardlimit_artifact, av_motion_artifact,
+        av_stop_word, av_zerocrossing,
+    )
+    from tsmp_ray.kernels.movstats import zero_one_norm, znorm
+
+    d = read_rda(f"{REF_DATA}/mp_test_data.rda")["mp_test_data"]
+    x = d["train"]["data"].ravel(order="F")[:1000].astype(np.float64)
+    w = 50
+
+    def cks(v, dp):
+        v = np.asarray(v, dtype=np.float64)
+        return round(float(v.sum() / v.std(ddof=1)), dp)
+
+    assert cks(av_complexity(x, w), 2) == 1689.92
+    assert cks(av_hardlimit_artifact(x, w), 2) == 3568.52
+    assert cks(av_motion_artifact(x, w), 1) == 1015.7
+    assert cks(av_zerocrossing(x, w), 2) == 666.75
+
+    # production stop-word AV (intended zone), digest-pinned
+    assert cks(av_stop_word(x, w, stop_word_loc=150 - 1), 2) == 1055.06
+
+    # reference-parity emulation: same distance profile, quirk suppression
+    z = znorm(x)
+    sw = z[149:149 + w]
+    win = np.lib.stride_tricks.sliding_window_view(z, w)
+    dist = np.sqrt(np.maximum(((win - sw) ** 2).sum(axis=1), 0.0))
+    av = zero_one_norm(dist)
+    for i0 in np.flatnonzero(av <= 0.1):
+        av[max(0, i0 - 1): i0 + 1] = 0.0   # {i-1, i}, 1-based
+    assert cks(av, 2) == 1336.86
+
+
 def test_mp_test_data_mstomp_pmp_digests():
     """Long-series digests for the MULTIDIM and PAN paths on real reference
     data (round-3 verdict item 10): mstomp over an 8k prefix (3 dims = the

@@ -415,14 +415,21 @@ def av_motion_artifact(data: np.ndarray, w: int) -> np.ndarray:
 def av_stop_word(data: np.ndarray, w: int, stop_word_loc: int,
                  threshold: float = 0.1, ez: float = DEFAULT_EZ) -> np.ndarray:
     """Suppress windows similar to a 'stop word' window
-    (/root/reference/R/annotations.R:183-230): av = normalized squared
-    distance to the stop word; zero out ±ez around indices below threshold."""
+    (/root/reference/R/annotations.R:183-230): av = normalized euclidean
+    distance to the stop word (diff2, misc.R:341-361, takes the sqrt);
+    zero out ±zone around indices below threshold. Deliberate deviation:
+    the zone is round(w·ez+eps) — the reference resolves its default
+    ``exclusion_zone`` from ``.mp$ez``, the FRACTION 0.5, and uses it
+    directly as an index offset (annotations.R:213-218), so its default
+    path zeroes only {i-1, i} regardless of w; the reference-parity
+    checksum is pinned through that emulation in
+    tests/test_reference_fixtures.py."""
     z = znorm(data)
     sw = z[stop_word_loc : stop_word_loc + w]
     win = _windows(z, w)
     # sum((s-sw)^2) = sum(s²) - 2·s·sw + sum(sw²), one matmul for the dot
-    d = (win * win).sum(axis=1) - 2.0 * (win @ sw) + float(np.sum(sw * sw))
-    av = zero_one_norm(d)
+    d2 = (win * win).sum(axis=1) - 2.0 * (win @ sw) + float(np.sum(sw * sw))
+    av = zero_one_norm(np.sqrt(np.maximum(d2, 0.0)))
     zone = int(round(w * ez + EPS))
     p = len(av)
     for i in np.flatnonzero(av <= threshold):

@@ -41,13 +41,17 @@ def discrete_norm_pre(data: np.ndarray, w: int) -> tuple[float, float]:
 
 
 def discrete_norm(window: np.ndarray, n_bits: int, mx: float, mn: float) -> np.ndarray:
-    """z-norm then quantize to integer symbols 1..2^n_bits."""
+    """z-norm then quantize to integer symbols (misc.R:915-932). Symbols are
+    1..2^n_bits when (mn, mx) bound the z-normed input — always true in the
+    salient flow, whose bounds come from discrete_norm_pre over ALL windows
+    — and deliberately NOT clipped outside that range, matching the
+    reference (its test feeds raw data extremes and counts the resulting
+    0-symbols)."""
     window = np.asarray(window, dtype=np.float64)
     mu, sd = window.mean(), window.std()
     z = (window - mu) / sd if sd > 0 else window - mu
     levels = (1 << n_bits) - 1
-    q = np.round((z - mn) / (mx - mn) * levels) + 1
-    return np.clip(q, 1, levels + 1)
+    return np.round((z - mn) / (mx - mn) * levels + EPS) + 1
 
 
 def _bitsize(diff: np.ndarray, mismatch_bit: float) -> float:
