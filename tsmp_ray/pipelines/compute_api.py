@@ -28,8 +28,13 @@ from ..kernels.stomp import stomp
 
 
 def compute(data: np.ndarray, windows=None, query: np.ndarray | None = None,
-            sample_pct: float = 1.0, ez: float = DEFAULT_EZ, seed: int = 7):
-    """Unified API (compute.R:61-107)."""
+            sample_pct: float = 1.0, threshold: float | None = 0.98,
+            ez: float = DEFAULT_EZ, seed: int = 7):
+    """Unified API (compute.R:61-107). For the pan path, ``threshold``
+    prunes windows above :func:`pmp_upper_bound` exactly like
+    compute.R:96-99 (an explicit list is filtered, a missing list becomes
+    seq(10, min(n/2, upper), length.out=20)); ``threshold=None`` skips
+    the bound and sweeps the given windows as-is."""
     data = np.asarray(data, dtype=np.float64)
     if windows is not None and np.isscalar(windows):
         w = int(windows)
@@ -41,9 +46,16 @@ def compute(data: np.ndarray, windows=None, query: np.ndarray | None = None,
         return scrimp(data, w, ez=ez, s_size=int(np.floor(sample_pct * n)),
                       seed=seed)
     # multi/no window → upper bound then pan-MP (compute.R:86-107)
+    n = len(data)
+    cap = n // 2
+    if threshold is not None:
+        cap = min(cap, pmp_upper_bound(data, threshold=threshold, ez=ez))
     if windows is None:
-        upper = pmp_upper_bound(data, ez=ez)
-        windows = np.unique(np.linspace(8, max(upper, 9), 8).astype(int))
+        windows = np.unique(np.floor(
+            np.linspace(10, max(cap, 11), 20)).astype(int))
+    else:
+        windows = np.asarray(windows, dtype=int).ravel()
+        windows = windows[windows <= cap]
     return pmp(data, windows, ez=ez)
 
 
