@@ -177,6 +177,49 @@ def test_subset_profile_rebase_invariants(tilt_mid_profile):
     assert sub2.extra["offset"] == 600
 
 
+def test_mass_known_answers(toy):
+    """test-basics.R:33-72 on mp_toy_data[, 1], w=30: the v2/v3/weighted
+    MASS sums reproduce exactly (the reference's distance_profile is
+    squared; ours is euclidean — compared via d²). The query-with-gap
+    constant reproduces through the production MASS primitives combined
+    with the reference's OWN gap construction (dist_profile.R:100-140):
+    the query is sliced to window_size (dropping this test's 31st
+    element), the post-gap profile is padded at the FRONT by max_idx-1
+    (so the two sub-queries are combined at a reversed alignment), and
+    the SUM of the two EDs is squared. The engine's gap mode keeps the
+    intuitive q2-at-gap-end alignment (pinned against brute force in
+    test_mass_and_movstats.py) — this test pins the reference's exact
+    number through the quirk emulation."""
+    from tsmp_ray.kernels.mass import (
+        mass_pre, mass_pre_w, mass_v2, mass_v3, mass_weighted,
+    )
+
+    data, w = toy
+    x = data[:, 0].astype(np.float64)
+    q = x[:w]
+    pre = mass_pre(x, w)
+    for fn in (mass_v2, mass_v3):
+        dv, qt = fn(pre, q)
+        assert round(float(np.round(dv ** 2, 2).sum()), 2) == 30737.17
+        assert round(float(np.round(qt, 2).sum()), 2) == 5965.13
+    wts = np.concatenate([np.ones(15), np.full(15, 0.5)])
+    dw, qtw = mass_weighted(mass_pre_w(x, w, wts), q)
+    assert round(float(np.round(dw ** 2, 2).sum()), 2) == 21944.89
+    assert round(float(np.round(qtw, 2).sum()), 2) == -1076.72
+
+    # query with gap: c(10:1, rep(NA, 10), 10:20), w=30
+    qg = np.concatenate([np.arange(10, 0, -1, dtype=float),
+                         np.full(10, np.nan),
+                         np.arange(10, 21, dtype=float)])
+    q1, q2 = qg[:10], qg[20:w]              # sliced to window_size
+    ed1, _ = mass_v3(mass_pre(x, len(q1)), q1)
+    ed2, _ = mass_v3(mass_pre(x, len(q2)), q2)
+    r2 = np.concatenate([np.full(20, np.inf), ed2])   # front pad max_idx-1
+    r1 = np.concatenate([ed1, np.full(len(r2) - len(ed1), np.inf)])
+    dp = (r1 + r2) ** 2
+    assert round(float(np.round(dp[20:541], 2).sum()), 2) == 38257.03
+
+
 def test_sdts_known_answers_mp_test_data():
     """test-sdts.R:24-48 on mp_test_data[20000:60000], w=(110,220,330).
     Exact reference parity on everything robust to fp-level candidate
