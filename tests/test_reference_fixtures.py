@@ -177,6 +177,39 @@ def test_subset_profile_rebase_invariants(tilt_mid_profile):
     assert sub2.extra["offset"] == 600
 
 
+def test_kernel_error_conditions(toy):
+    """test-stamps.R:12-49 / test-simple.R:9-26 error parity: too-long and
+    too-short windows, must/exc dim overlap and overflow, and SiMPle's
+    data/query dimension check all raise clear ValueErrors."""
+    from tsmp_ray.kernels.mining import valmod
+    from tsmp_ray.kernels.mstomp import mstomp
+    from tsmp_ray.kernels.scrimp import scrimp, stamp
+    from tsmp_ray.kernels.simple import simple_fast
+    from tsmp_ray.kernels.stomp import stomp
+
+    data, w = toy
+    x = data[:400, 0].astype(np.float64)
+    xm = data[:400, :].astype(np.float64)
+
+    for fn in (lambda: stomp(x, 500), lambda: stamp(x, 500),
+               lambda: scrimp(x, 500), lambda: mstomp(xm, 500)):
+        with pytest.raises(ValueError, match="longer than series"):
+            fn()
+    for fn in (lambda: stomp(x, 2), lambda: stamp(x, 2),
+               lambda: scrimp(x, 2), lambda: mstomp(xm, 2),
+               lambda: simple_fast(xm, 2), lambda: valmod(x, 2, 3)):
+        with pytest.raises(ValueError, match="at least 4"):
+            fn()
+    with pytest.raises(ValueError, match="overlap"):
+        mstomp(xm, 40, must_dim=[0, 1], exc_dim=[1, 2])
+    with pytest.raises(ValueError, match="too many must_dim"):
+        mstomp(xm, 40, must_dim=[0, 1, 2, 3])
+    with pytest.raises(ValueError, match="out of range"):
+        mstomp(xm, 40, exc_dim=[5])
+    with pytest.raises(ValueError, match="dimensions must be the same"):
+        simple_fast(xm, 30, query=x)
+
+
 def test_mass_known_answers(toy):
     """test-basics.R:33-72 on mp_toy_data[, 1], w=30: the v2/v3/weighted
     MASS sums reproduce exactly (the reference's distance_profile is

@@ -568,6 +568,8 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
     uncertified-query MASS recomputes plus O(p²w) BLAS re-captures cost
     more than the O(p²)-vectorized full profile it avoids. ``lb=True``
     remains for reference-algorithm parity."""
+    if window_min < 4:
+        raise ValueError("window_size must be at least 4")  # valmod.R:100
     if query is not None:
         query = np.asarray(query, dtype=np.float64)
         if len(query) != len(data):

@@ -67,10 +67,20 @@ def mstomp(
     p = n - w + 1
     if p < 1:
         raise ValueError(f"window {w} longer than series {n}")
+    if w < 4:
+        raise ValueError("window_size must be at least 4")
     must = sorted(set(must_dim or []))
     exc = sorted(set(exc_dim or []))
     if set(must) & set(exc):
         raise ValueError("must_dim and exc_dim overlap")
+    # mirror mstomp.R's argument guards (test-stamps.R:22-30)
+    for name, dims in (("must_dim", must), ("exc_dim", exc)):
+        if len(dims) > d:
+            raise ValueError(f"too many {name}: {len(dims)} > {d} dims")
+        bad = [j for j in dims if not (0 <= j < d)]
+        if bad:
+            raise ValueError(f"{name} indices {bad} out of range for "
+                             f"{d}-dim data")
     keep = [j for j in range(d) if j not in exc]
     n_keep = len(keep)
     n_must = len(must)

@@ -139,6 +139,8 @@ def scrimp(
     """SCRIMP++ self-join. ``s_size``: int = number of diagonals, float in
     (0,1] = fraction, None = all (exact). ``pre_scrimp``: anchor stride as a
     fraction of w; 0 disables the PRE phase."""
+    if w < 4:
+        raise ValueError("window_size must be at least 4")  # scrimp.R:60
     state = prepare_series(data, w)
     zone = exclusion_zone(w, ez)
     rng = np.random.default_rng(seed)
@@ -176,6 +178,8 @@ def stamp(
     Self-join only here; AB-joins route to :func:`..stomp.stomp` /
     :func:`.mpx` which compute both orientations in one pass.
     """
+    if w < 4:
+        raise ValueError("window_size must be at least 4")  # stamp.R:95
     if query is not None:
         from .stomp import stomp as _stomp
         return _stomp(data, w, query=query, ez=ez)

@@ -55,6 +55,12 @@ def simple_fast(
     else:
         query = data
         ez_eff = ez
+    if w < 4:
+        raise ValueError("window_size must be at least 4")
+    if join and query.shape[1] != data.shape[1]:
+        raise ValueError(
+            f"data and query dimensions must be the same "
+            f"({data.shape[1]} vs {query.shape[1]} — simple.R:72-78)")
     n, d = data.shape
     nq = query.shape[0]
     p = n - w + 1          # profile over data windows (rows iterate data)

@@ -41,6 +41,8 @@ def stomp(
     ez: float = DEFAULT_EZ,
 ) -> MatrixProfile:
     """Exact MP. Self-join (with lmp/lpi/rmp/rpi) or AB-join (no exclusion)."""
+    if w < 4:
+        raise ValueError("window_size must be at least 4")  # stomp.R:48
     if query is None:
         return _stomp_self(data, w, ez, row_range=None)
     return _stomp_ab(data, query, w)
