@@ -631,6 +631,49 @@ def test_analyze_compute_known_answers(toy):
     assert pmp_upper_bound(x, threshold=0.98) == 20
 
 
+def test_motifs_discords_api_known_answers(toy):
+    """test-motifs.R / test-discords.R on mp_toy_data[, 1]:
+    ``compute(ts, windows = 30) %>% motifs()/discords()`` with k=3,
+    neighbor_count=10, radius=3 (motifs.R:16-18 / discords.R:16-18). The
+    profile is mpx under the C++ minlag convention (see
+    test_analyze_compute_known_answers); the mining zone comes from the
+    OBJECT's ez = 1/2 (compute.R:123 stores res$ez), so the profile is
+    rebased to ez=0.5 before mining. Pins the PRODUCTION
+    find_motifs/find_discords end-to-end: the min_mp_idx valid-pair search
+    (misc.R:539-590 — its local-copy masking leaves only TWO motifs here,
+    the third search exhausts), MASS queries at the argmin side
+    (find-motifs.R:113), inclusive seed masking with strict ``< zone``
+    neighbor suppression (find-motifs.R:142), and the motif_window values
+    that R's unlist() folds into the pinned mean."""
+    from dataclasses import replace
+
+    from tsmp_ray.kernels.mining import find_discords, find_motifs
+    from tsmp_ray.kernels.mpx import mpx
+
+    data, _ = toy
+    x = data[:, 0].astype(np.float64)
+    w = 30
+    prof = replace(mpx(x, w, ez=(w // 2 - 1) / w), ez=0.5)
+
+    mt = find_motifs(x, prof, n_motifs=3, n_neighbors=10, radius=3.0)
+    assert len(mt) == 2  # the 3rd min_mp_idx search returns NA on this data
+    unl: list[float] = []
+    for m in mt:
+        unl += [q + 1 for q in m["motifs"]] + [q + 1 for q in m["neighbors"]]
+        unl.append(m["w"])
+    arr = np.asarray(unl, dtype=np.float64)
+    assert round(float(arr.mean()), 4) == 256.3182
+    assert round(float(np.std(arr, ddof=1)), 4) == 167.7008
+
+    dc = find_discords(x, prof, n_discords=3, n_neighbors=10, radius=3.0)
+    unl = []
+    for d in dc:
+        unl += [d["discord"] + 1] + [q + 1 for q in d["neighbors"]]
+    arr = np.asarray(unl, dtype=np.float64)
+    assert round(float(arr.mean()), 4) == 298.8182
+    assert round(float(np.std(arr, ddof=1)), 4) == 148.6915
+
+
 def test_salient_primitive_known_answers(toy):
     """test-salient.R:23-31 primitives on mp_toy_data[, 1]: get_bitsize of
     the sign vector at mismatch_bit=10 (5490), discrete_norm fed RAW data

@@ -34,8 +34,11 @@ __all__ = [
 
 def _greedy_neighbors(d: np.ndarray, limit: float, zone: int, n_neighbors: int,
                       seeds: list[int]) -> list[int]:
-    """Pick up to n_neighbors indices by ascending distance, suppressing ±zone
-    around each pick and around ``seeds`` (/root/reference/R/find-motifs.R:129-147)."""
+    """Pick up to n_neighbors indices by ascending distance, suppressing
+    around each pick and around ``seeds`` (/root/reference/R/find-motifs.R:
+    121-147). Seed zones are masked INCLUSIVE (``zone_start:zone_end``); a
+    picked neighbor suppresses later candidates with STRICT ``|diff| < zone``
+    (find-motifs.R:142 keeps candidates at exactly ``zone`` away)."""
     d = d.copy()
     d[d > limit] = np.inf
     for s in seeds:
@@ -46,8 +49,27 @@ def _greedy_neighbors(d: np.ndarray, limit: float, zone: int, n_neighbors: int,
         if not np.isfinite(d[j]):
             break
         out.append(j)
-        d[max(0, j - zone) : j + zone + 1] = np.inf
+        d[max(0, j - zone + 1) : j + zone] = np.inf
     return out
+
+
+def _min_valid_pair(mp: np.ndarray, pi: np.ndarray) -> tuple[int, int] | None:
+    """The reference's ``min_mp_idx`` valid-pair search (misc.R:539-590):
+    repeatedly take the argmin of mp and accept it only if its profile-index
+    partner is in range and un-masked. Rejected minima are masked in a LOCAL
+    copy — so a rejected minimum ALSO invalidates any later argmin whose
+    partner points at it (this local-masking detail is what ends the toy
+    motif search after two motifs in test-motifs.R). Returns None when the
+    search exhausts."""
+    m = mp.copy()
+    while True:
+        i = int(np.argmin(m))
+        if not np.isfinite(m[i]):
+            return None
+        nn = int(pi[i])
+        if 0 <= nn < len(m) and np.isfinite(m[nn]):
+            return i, nn
+        m[i] = np.inf
 
 
 def find_motifs(
@@ -59,8 +81,10 @@ def find_motifs(
 ) -> list[dict]:
     """Top-k motif pairs + neighbors (/root/reference/R/find-motifs.R:90-157).
 
-    Iteratively: global argmin pair of mp; neighbors = windows whose distance
-    to the first motif window is ≤ radius·motif_distance (dist profile via
+    Iteratively: global argmin pair of mp via the reference's valid-pair
+    search (``_min_valid_pair``, misc.R:539-590); neighbors = windows whose
+    distance to the ARGMIN window (find-motifs.R:113 queries at ``min_idx``,
+    not the sorted-first end) is ≤ radius·motif_distance (dist profile via
     MASS), suppressing ±ez; then mask all found windows and repeat.
     """
     w, ez = profile.w, profile.ez
@@ -69,12 +93,13 @@ def find_motifs(
     pre = mass_pre(data, w)
     motifs = []
     for _ in range(n_motifs):
-        i = int(np.argmin(mp))
-        if not np.isfinite(mp[i]) or profile.pi[i] < 0:
+        got = _min_valid_pair(mp, profile.pi)
+        if got is None:
             break
-        pair = sorted((i, int(profile.pi[i])))
+        i, nn = got
+        pair = sorted((i, nn))
         mdist = float(mp[i])
-        d, _qt = mass_v3(pre, data[pair[0] : pair[0] + w])
+        d, _qt = mass_v3(pre, data[i : i + w])
         neigh = _greedy_neighbors(d, radius * mdist, zone, n_neighbors, seeds=pair)
         motifs.append({"motifs": pair, "neighbors": neigh, "distance": mdist, "w": w})
         for j in pair + neigh:
