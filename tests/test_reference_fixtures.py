@@ -631,6 +631,61 @@ def test_analyze_compute_known_answers(toy):
     assert pmp_upper_bound(x, threshold=0.98) == 20
 
 
+@pytest.fixture(scope="module")
+def stress_series():
+    """The four series test-stress-stamps.R stresses (lines 22-25):
+    mp_fluss_data$tilt_abp, mp_fluss_data$walkjogrun, mp_meat_data$sub,
+    mp_test_data$train."""
+    fluss = read_rda(f"{REF_DATA}/mp_fluss_data.rda")["mp_fluss_data"]
+    meat = read_rda(f"{REF_DATA}/mp_meat_data.rda")["mp_meat_data"]
+    test = read_rda(f"{REF_DATA}/mp_test_data.rda")["mp_test_data"]
+    return {
+        "tilt_abp": fluss["tilt_abp"]["data"].ravel(order="F"),
+        "walkjogrun": fluss["walkjogrun"]["data"].ravel(order="F"),
+        "meat_sub": meat["sub"]["data"].ravel(order="F"),
+        "test_train": test["train"]["data"].ravel(order="F"),
+    }
+
+
+@pytest.mark.parametrize("w,ds,atol", [(4, 1000, 1e-3), (150, 1600, 2e-5)])
+def test_stress_stamps_agreement_on_reference_data(stress_series, w, ds, atol):
+    """test-stress-stamps.R, deterministic slice: the reference's stress
+    suite draws random (window, prefix-size) pairs over its four real
+    datasets and requires stamp/stomp/scrimp profile agreement within 0.01.
+    Here: the reference's fixed first window w=4 plus a mid window, over
+    prefixes of all four series, with exact mpx included. Tolerance is the
+    repo's 2e-5 except at w=4, where real data has near-duplicate windows
+    at d ~ 1e-4 and the FFT path's d=sqrt(d²) amplifies its ~1e-8 d² noise
+    to ~1e-4 (1e-3 is still 10× stricter than the reference's own bar)."""
+    from tsmp_ray.kernels import mpx, scrimp, stamp, stomp
+
+    for name, full in stress_series.items():
+        x = full[:ds].astype(np.float64)
+        ref = stomp(x, w)
+        for prof, alg in [
+            (stamp(x, w), "stamp"),
+            (scrimp(x, w, pre_scrimp=0, s_size=None), "scrimp"),
+            (mpx(x, w), "mpx"),
+        ]:
+            np.testing.assert_allclose(
+                prof.mp, ref.mp, atol=atol,
+                err_msg=f"{alg} vs stomp on {name} (w={w}, ds={ds})")
+
+
+def test_stress_stamps_large_window_edge(stress_series):
+    """test-stress-stamps.R's min_data_size = 2w+1 edge: a window more than
+    a third of the series (w=700, ds=1450, only 751 subsequences and every
+    pair within ~zone of the diagonal) still agrees across kernels."""
+    from tsmp_ray.kernels import mpx, scrimp, stamp, stomp
+
+    x = stress_series["tilt_abp"][:1450].astype(np.float64)
+    w = 700
+    ref = stomp(x, w)
+    for prof in (stamp(x, w), scrimp(x, w, pre_scrimp=0, s_size=None),
+                 mpx(x, w)):
+        np.testing.assert_allclose(prof.mp, ref.mp, atol=2e-5)
+
+
 def test_motifs_discords_api_known_answers(toy):
     """test-motifs.R / test-discords.R on mp_toy_data[, 1]:
     ``compute(ts, windows = 30) %>% motifs()/discords()`` with k=3,

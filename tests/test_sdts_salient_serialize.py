@@ -84,6 +84,30 @@ def test_profile_serialization_roundtrip(tmp_path):
     assert back.algorithm == "stomp"
 
 
+def test_pmp_serialization_roundtrip(tmp_path):
+    """test-serialize.R:17-24 re-serializes a PMP object; write_pmp/read_pmp
+    mirror the reference's write.PMP layout (serialize.R:72-110) with
+    0-based on-disk indexes. Bit-exact for float64 incl. Inf; the -1 pi
+    sentinel maps to null on disk."""
+    from tsmp_ray.kernels.mining import pmp
+    from tsmp_ray.state.serialize import read_pmp, write_pmp
+
+    x = np.cumsum(np.random.default_rng(11).standard_normal(240))
+    x[40:44] = np.nan  # force skip windows -> Inf in mp, -1 in pi
+    pan = pmp(x, windows=[8, 12, 16])
+    path = str(tmp_path / "pan.json")
+    write_pmp(pan, path, ez=0.5, upper_window=16)
+    back = read_pmp(path)
+    assert back["w"] == pan["w"]
+    assert back["ez"] == 0.5 and back["upper_window"] == 16
+    assert sorted(back["pmp"]) == sorted(pan["pmp"])
+    for w in pan["pmp"]:
+        np.testing.assert_array_equal(pan["pmp"][w], back["pmp"][w])
+        np.testing.assert_array_equal(pan["pmpi"][w], back["pmpi"][w])
+        assert np.isinf(pan["pmp"][w]).any()  # the Inf path is exercised
+        assert (pan["pmpi"][w] == -1).any()   # ... and the null sentinel
+
+
 def test_floss_streaming_state_detects_regime():
     from tsmp_ray.stages.floss_stage import FlossState
 

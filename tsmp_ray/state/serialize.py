@@ -68,6 +68,46 @@ def write_profile(prof: MatrixProfile, path: str) -> None:
         json.dump(doc, f)
 
 
+def write_pmp(pan: dict, path: str, ez: float = 0.5,
+              upper_window: int | None = None, algorithm: str = "pmp") -> None:
+    """Serialize a pan-matrix-profile dict (``kernels.mining.pmp``'s
+    ``{'pmp': {w: mp}, 'pmpi': {w: pi}, 'w': visited}``) the same way the
+    reference's write.PMP does (/root/reference/R/serialize.R:72-110):
+    per-window profile/index lists with 0-based indexes on disk
+    (serialize.R:85), class/algorithm/metric embedded, Inf/NaN as strings.
+    JSON object keys are strings; ``read_pmp`` restores integer windows."""
+    doc = {
+        "class": "PMP",
+        "algorithm": algorithm,
+        "metric": "znorm_euclidean",
+        "version": 1,
+        "w": [int(w) for w in pan["w"]],
+        "ez": float(ez),
+        "upper_window": None if upper_window is None else int(upper_window),
+        "pmp": {str(w): _enc_floats(v) for w, v in pan["pmp"].items()},
+        "pmpi": {str(w): _enc_idx(v) for w, v in pan["pmpi"].items()},
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f)
+
+
+def read_pmp(path: str) -> dict:
+    """Round-trip counterpart of :func:`write_pmp` (the reference re-bases
+    pmpi to 1-based on read, serialize.R:156-157; ours stay 0-based).
+    Returns the pmp dict plus the embedded ``ez`` / ``upper_window``."""
+    with open(path) as f:
+        doc = json.load(f)
+    if doc.get("class") != "PMP":
+        raise ValueError(f"not a PMP JSON: {path}")
+    return {
+        "pmp": {int(w): _dec_floats(v) for w, v in doc["pmp"].items()},
+        "pmpi": {int(w): _dec_idx(v) for w, v in doc["pmpi"].items()},
+        "w": [int(w) for w in doc["w"]],
+        "ez": float(doc["ez"]),
+        "upper_window": doc.get("upper_window"),
+    }
+
+
 def read_profile(path: str) -> MatrixProfile:
     with open(path) as f:
         doc = json.load(f)
