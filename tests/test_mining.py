@@ -37,6 +37,18 @@ def test_find_motifs_finds_planted():
     assert len(near) >= 2  # at least two planted occurrences recovered
 
 
+def test_greedy_neighbors_zone_zero_yields_distinct_indices():
+    """ez=0 (join-profile convention) makes the suppression zone 0: the
+    reference still pops each pick from its candidate pool
+    (find-motifs.R:136-140), so neighbors must stay DISTINCT — a zone-0
+    profile must not return the same index n_neighbors times."""
+    from tsmp_ray.kernels.mining import _greedy_neighbors
+
+    d = np.array([5.0, 1.0, 2.0, 3.0, 4.0])
+    out = _greedy_neighbors(d, limit=10.0, zone=0, n_neighbors=3, seeds=[])
+    assert out == [1, 2, 3]
+
+
 def test_find_discords_finds_planted():
     x, _, discord_pos = planted_motif_series()
     w = 16

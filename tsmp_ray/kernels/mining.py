@@ -49,6 +49,7 @@ def _greedy_neighbors(d: np.ndarray, limit: float, zone: int, n_neighbors: int,
         if not np.isfinite(d[j]):
             break
         out.append(j)
+        d[j] = np.inf  # the pick itself always leaves the pool (pop head)
         d[max(0, j - zone + 1) : j + zone] = np.inf
     return out
 
