@@ -49,6 +49,24 @@ def test_greedy_neighbors_zone_zero_yields_distinct_indices():
     assert out == [1, 2, 3]
 
 
+def test_greedy_neighbors_small_pool_stop():
+    """The reference breaks when fewer than j candidates remain in the pool
+    (find-motifs.R:136 `length(distance_order) < j`): entries leave on pick
+    and strict-zone suppression, Inf-masked ones stay and still count. On a
+    5-entry all-finite profile with zone=1 the reference picks exactly 3
+    neighbors (at j=4 the pool holds 2 < 4), never all 5."""
+    from tsmp_ray.kernels.mining import _greedy_neighbors
+
+    d = np.array([5.0, 1.0, 2.0, 3.0, 4.0])
+    out = _greedy_neighbors(d, limit=10.0, zone=1, n_neighbors=10, seeds=[])
+    assert out == [1, 2, 3]  # pool 5 -> 4 -> 3 -> 2; j=4 refused
+
+    # zone=2: each pick removes itself + strict-zone survivors; the pool
+    # drains to 1 < 3 before a third pick.
+    out = _greedy_neighbors(d, limit=10.0, zone=2, n_neighbors=10, seeds=[])
+    assert out == [1, 3]
+
+
 def test_find_discords_finds_planted():
     x, _, discord_pos = planted_motif_series()
     w = 16

@@ -200,6 +200,17 @@ def test_kernel_error_conditions(toy):
                lambda: simple_fast(xm, 2), lambda: valmod(x, 2, 3)):
         with pytest.raises(ValueError, match="at least 4"):
             fn()
+    # the too-short band (n/2, n]: the reference refuses it outright
+    # (stomp.R:95-97 ceiling(n/2); mstomp.R:101-103 / simple.R:116-121 /
+    # valmod.R:96-98 plain n/2)
+    for fn in (lambda: stomp(x, 250), lambda: stamp(x, 250),
+               lambda: scrimp(x, 250), lambda: mstomp(xm, 250),
+               lambda: simple_fast(xm, 250), lambda: valmod(x, 250, 260),
+               lambda: stomp(x, 30, query=x[:40])):
+        with pytest.raises(ValueError, match="too short"):
+            fn()
+    with pytest.raises(ValueError, match="smaller or the same size"):
+        stomp(x, 30, query=np.concatenate([x, [0.0]]))  # stomp.R:92-94
     with pytest.raises(ValueError, match="overlap"):
         mstomp(xm, 40, must_dim=[0, 1], exc_dim=[1, 2])
     with pytest.raises(ValueError, match="too many must_dim"):
@@ -629,6 +640,17 @@ def test_analyze_compute_known_answers(toy):
     # base, same refine grid — bound still 20 on this data
     from tsmp_ray.kernels.mining import pmp_upper_bound
     assert pmp_upper_bound(x, threshold=0.98) == 20
+
+    # and the production compute() pan path performs the compute.R:105
+    # pmp_obj merge: bound trajectory {8,16,20} ∪ requested {10..19}
+    # (20 itself already computed, ≥-upper requests dropped), nothing
+    # recomputed, each profile equal to its single-window mpx
+    from tsmp_ray.pipelines.compute_api import compute as engine_compute
+    pan = engine_compute(x, windows=np.arange(10, 71))
+    assert pan["upper_window"] == 20
+    assert set(pan["w"]) == {8} | set(range(10, 21))
+    for w in (8, 15, 20):
+        np.testing.assert_array_equal(pan["pmp"][w], mpx(x, w).mp)
 
 
 @pytest.fixture(scope="module")

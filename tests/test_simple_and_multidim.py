@@ -99,8 +99,18 @@ def test_compute_api_dispatch():
     approx = compute(x, windows=16, sample_pct=0.3)
     fin = np.isfinite(exact.mp)
     assert (approx.mp[fin] >= exact.mp[fin] - 2e-5).all()
+    # pan path merges the bound search's profiles (compute.R:105
+    # pmp(..., pmp_obj = res)): requested windows ≤ bound plus the bound
+    # trajectory itself, each computed exactly once
     sweep = compute(x, windows=[8, 12])
-    assert set(sweep["pmp"]) == {8, 12}
+    assert {8, 12} <= set(sweep["pmp"])
+    assert set(sweep["w"]) == set(sweep["pmp"])
+    assert sweep["upper_window"] >= 12
+    for w in sweep["w"]:
+        np.testing.assert_allclose(sweep["pmp"][w], mpx(x, w).mp, atol=1e-9)
+    # threshold=None skips the bound: no merge, exactly the requested set
+    plain = compute(x, windows=[8, 12], threshold=None)
+    assert set(plain["pmp"]) == {8, 12} and "upper_window" not in plain
     for mode in ("stomp", "stamp", "scrimp", "mpx", "simple"):
         prof = tsmp(x, 16, mode=mode)
         assert len(prof.mp) == len(x) - 16 + 1

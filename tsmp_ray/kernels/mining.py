@@ -38,19 +38,32 @@ def _greedy_neighbors(d: np.ndarray, limit: float, zone: int, n_neighbors: int,
     around each pick and around ``seeds`` (/root/reference/R/find-motifs.R:
     121-147). Seed zones are masked INCLUSIVE (``zone_start:zone_end``); a
     picked neighbor suppresses later candidates with STRICT ``|diff| < zone``
-    (find-motifs.R:142 keeps candidates at exactly ``zone`` away)."""
+    (find-motifs.R:142 keeps candidates at exactly ``zone`` away).
+
+    The reference's loop (find-motifs.R:135-145, find-discord.R:106-116)
+    ALSO breaks when ``length(distance_order) < j``: entries leave its
+    sorted pool on pick (pop head) and strict-zone suppression, while
+    Inf-masked entries (over-limit / seed zones) stay and still count —
+    ``in_pool`` tracks exactly that membership, so on small pools the
+    j-th neighbor is refused once fewer than j candidates remain."""
     d = d.copy()
     d[d > limit] = np.inf
     for s in seeds:
         d[max(0, s - zone) : s + zone + 1] = np.inf
+    in_pool = np.ones(d.shape[0], dtype=bool)
     out: list[int] = []
-    for _ in range(n_neighbors):
+    for k in range(1, n_neighbors + 1):
+        if int(in_pool.sum()) < k:
+            break
         j = int(np.argmin(d))
         if not np.isfinite(d[j]):
             break
         out.append(j)
         d[j] = np.inf  # the pick itself always leaves the pool (pop head)
-        d[max(0, j - zone + 1) : j + zone] = np.inf
+        in_pool[j] = False
+        sl = slice(max(0, j - zone + 1), j + zone)
+        d[sl] = np.inf
+        in_pool[sl] = False
     return out
 
 
@@ -487,12 +500,25 @@ def av_apply(profile: MatrixProfile, av: np.ndarray) -> MatrixProfile:
 
 
 def pmp(data: np.ndarray, windows: np.ndarray | list[int],
-        ez: float = DEFAULT_EZ, n_windows: int | None = None) -> dict:
+        ez: float = DEFAULT_EZ, n_windows: int | None = None,
+        pmp_obj: dict | None = None) -> dict:
     """Pan-matrix-profile: mpx per window, windows visited in binary-split
     order so early results cover the sweep (/root/reference/R/pmp.R:166-211).
-    Returns {'pmp': {w: mp}, 'pmpi': {w: pi}, 'w': visited_windows}."""
-    windows = np.asarray(sorted(set(int(w) for w in windows)))
-    order = binary_split(len(windows))
+    Returns {'pmp': {w: mp}, 'pmpi': {w: pi}, 'w': visited_windows}.
+
+    ``pmp_obj`` merges previously computed profiles the way pmp.R:80-92
+    does: requested windows already in ``pmp_obj['w']`` are skipped, windows
+    ≥ its ``upper_window`` (when set) are dropped, and the prior profiles
+    are carried into the result (with ``upper_window`` preserved) — this is
+    how compute.R:105 folds the bound search's profiles into the pan."""
+    windows = sorted(set(int(w) for w in windows))
+    if pmp_obj is not None:
+        done = set(int(w) for w in pmp_obj["w"])
+        ub = pmp_obj.get("upper_window")
+        windows = [w for w in windows
+                   if w not in done and (ub is None or w < ub)]
+    windows = np.asarray(windows, dtype=int)
+    order = binary_split(len(windows)) if len(windows) else []
     if n_windows is not None:
         order = order[:n_windows]
     out_p: dict[int, np.ndarray] = {}
@@ -506,12 +532,21 @@ def pmp(data: np.ndarray, windows: np.ndarray | list[int],
         out_p[w] = prof.mp
         out_i[w] = prof.pi
         visited.append(w)
+    if pmp_obj is not None:
+        out_p = {**pmp_obj["pmp"], **out_p}
+        out_i = {**pmp_obj["pmpi"], **out_i}
+        visited = [int(w) for w in pmp_obj["w"]] + visited
+        res = {"pmp": out_p, "pmpi": out_i, "w": visited}
+        if pmp_obj.get("upper_window") is not None:
+            res["upper_window"] = int(pmp_obj["upper_window"])
+        return res
     return {"pmp": out_p, "pmpi": out_i, "w": visited}
 
 
 def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
                     ez: float = DEFAULT_EZ,
-                    refine_stepsize: float = 0.25) -> int:
+                    refine_stepsize: float = 0.25,
+                    return_pmp: bool = False) -> int | dict:
     """Largest useful pan-MP window (/root/reference/R/pmp.R:262-350):
     double w from 8 until the profile's best correlation drops below
     ``threshold``, then test the ascending refine grid
@@ -525,33 +560,53 @@ def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
     exclusion zone; the reference's C++ mpx admits |i-j| = floor(w/2)
     (one diagonal CLOSER), so bounds can differ by one refine step on
     threshold-straddling data — the toy-data parity (upper 20) is pinned
-    in tests/test_reference_fixtures.py via the minlag-zone emulation."""
+    in tests/test_reference_fixtures.py via the minlag-zone emulation.
+
+    ``return_pmp=True`` mirrors the reference's default (pmp.R:264,
+    ``return_pmp = TRUE``): the profiles computed during the search are
+    returned as a PMP dict (passing doubling windows + every tested refine
+    window, pmp.R:311-315,335-345) for :func:`pmp` to merge via its
+    ``pmp_obj`` argument, instead of the bare bound integer."""
     n = len(data)
     max_w = n // 2
+    store_p: dict[int, np.ndarray] = {}
+    store_i: dict[int, np.ndarray] = {}
 
     def corr_max(w: int) -> float:
         prof = mpx(data, w, ez=ez)
+        if return_pmp:
+            store_p[w] = prof.mp
+            store_i[w] = prof.pi
         finite = prof.mp[np.isfinite(prof.mp)]
         if len(finite) == 0:
             return -np.inf
         return float(1.0 - (finite.min() ** 2) / (2.0 * w))
 
+    def result(upper: int, windows: list[int]) -> int | dict:
+        if not return_pmp:
+            return upper
+        return {"upper_window": upper,
+                "pmp": {w: store_p[w] for w in windows},
+                "pmpi": {w: store_i[w] for w in windows},
+                "w": list(windows)}
+
     windows: list[int] = []
     w = 8
     while w <= max_w:
         if corr_max(w) < threshold:
-            break
+            break  # failing doubling window NOT kept (pmp.R:307-315)
         windows.append(w)
         w *= 2
     if not windows:
-        return 8  # even the smallest window fails: floor at the start point
+        # even the smallest window fails: floor at the start point
+        return result(8, [])
     if w <= max_w:
         for step in np.arange(refine_stepsize, 1.0 - 1e-5, refine_stepsize):
             wt = int(2 * round(((step + 1.0) * w / 2.0) / 2.0))
-            windows.append(wt)
+            windows.append(wt)  # refine keeps the first FAILING window too
             if corr_max(wt) < threshold:
                 break
-    return max(windows)
+    return result(max(windows), windows)
 
 
 def valmod(data: np.ndarray, window_min: int, window_max: int,
@@ -602,7 +657,10 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
             raise ValueError(
                 "valmod join requires equal-length series "
                 "(valmod.R:90-92: different sizes not implemented)")
-    elif lb:
+    qs = len(data) if query is None else len(query)
+    if 2 * window_min > qs:  # valmod.R:96-98 (window_min > query_size/2)
+        raise ValueError("time series is too short relative to desired window size")
+    if query is None and lb:
         return _valmod_pruned(data, window_min, window_max, ez, heap_size)
     p_out = len(data) - window_min + 1
     best = np.full(p_out, np.inf)

@@ -67,6 +67,8 @@ def mstomp(
     p = n - w + 1
     if p < 1:
         raise ValueError(f"window {w} longer than series {n}")
+    if 2 * w > n:  # mstomp.R:101-103 (w > data_size / 2, no ceiling)
+        raise ValueError("time series is too short relative to desired window size")
     if w < 4:
         raise ValueError("window_size must be at least 4")
     must = sorted(set(must_dim or []))

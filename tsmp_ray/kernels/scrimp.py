@@ -141,6 +141,8 @@ def scrimp(
     fraction of w; 0 disables the PRE phase."""
     if w < 4:
         raise ValueError("window_size must be at least 4")  # scrimp.R:60
+    if len(data) >= w > (len(data) + 1) // 2:  # scrimp.R:95-97
+        raise ValueError("time series is too short relative to desired window size")
     state = prepare_series(data, w)
     zone = exclusion_zone(w, ez)
     rng = np.random.default_rng(seed)
@@ -182,7 +184,9 @@ def stamp(
         raise ValueError("window_size must be at least 4")  # stamp.R:95
     if query is not None:
         from .stomp import stomp as _stomp
-        return _stomp(data, w, query=query, ez=ez)
+        return _stomp(data, w, query=query, ez=ez)  # stomp() mirrors stamp.R:103-109
+    if len(data) >= w > (len(data) + 1) // 2:  # stamp.R:106-108
+        raise ValueError("time series is too short relative to desired window size")
     state = prepare_series(data, w)
     zone = exclusion_zone(w, ez)
     pre = mass_pre(state.x, w)

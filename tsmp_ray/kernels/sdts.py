@@ -22,7 +22,12 @@ Re-implementation of the reference's ``sdts_train`` / ``sdts_predict`` /
   delta drops below 0.1% of the pooled profile range or 200 iterations);
   profiles are masked by the union of the chosen candidates' source
   regions (±max window). A candidate is accepted only on strict score
-  improvement.
+  improvement. Documented deviation: each trial masks a FRESH copy of
+  the accepted-region mask — the reference shares one mask across a
+  round's trials and resets each trial's range unconditionally
+  (sdts-train.R:252,316), leaking overlapped accepted regions to later
+  trials; emulating that was measured strictly worse on the reference's
+  own test config (see the stage-3 comment in ``sdts_train``).
 - PREDICT (sdts-predict.R:39-85): per pattern, run starts of
   dist < threshold, pooled, sorted, greedily deduplicated within
   ``window_size``, each surviving start painting ``window_size`` points.
@@ -308,6 +313,18 @@ def sdts_train(data: np.ndarray, label: np.ndarray, window_size,
     for _round in range(pat_max):
         pat_score = np.full(len(candidates), -np.inf)
         refit: dict[int, list] = {}
+        # Documented deviation: each trial gets a FRESH copy of the round's
+        # accepted-region mask. The reference shares ONE exc_mask_cur across
+        # a round's trials (sdts-train.R:252) and resets each trial's RANGE
+        # to FALSE unconditionally after scoring (sdts-train.R:316), so a
+        # trial region overlapping an accepted candidate's region erases
+        # that accepted masking for the round's later trials. Emulating the
+        # leak was A/B-measured on the reference's own mp_test_data config:
+        # it drives the engine's (fp-divergent) trajectory into a WORSE
+        # basin — held-out F 0.5 vs the reference's published 0.8, tholds
+        # (9.13, 29.5) vs (2.069, 9.125) — while the clean per-trial copy
+        # reproduces the reference's published expectations exactly
+        # (tests/test_reference_fixtures.py::test_sdts_known_answers_*).
         for j, cj in enumerate(candidates):
             if chosen[j]:
                 continue
@@ -382,9 +399,11 @@ def sdts_predict(model: SdtsModel, data: np.ndarray,
     if window_size is None:
         window_size = int(round(float(np.mean(model.windows))))
     parts = []
+    pre_cache: dict[int, object] = {}  # one mass_pre per distinct window
     for pat, th, w in zip(model.patterns, model.tholds, model.windows):
-        pre = mass_pre(data, w)
-        d, _ = mass_v3(pre, pat)
+        if w not in pre_cache:
+            pre_cache[w] = mass_pre(data, w)
+        d, _ = mass_v3(pre_cache[w], pat)
         parts.append(_run_starts(d, th))
     starts = np.sort(np.concatenate(parts)) if parts else \
         np.array([], dtype=np.int64)

@@ -61,6 +61,12 @@ def simple_fast(
         raise ValueError(
             f"data and query dimensions must be the same "
             f"({data.shape[1]} vs {query.shape[1]} — simple.R:72-78)")
+    if 2 * w > data.shape[0]:  # simple.R:116-118 (covers w > n too)
+        raise ValueError(
+            "reference time series is too short relative to desired window size")
+    if 2 * w > query.shape[0]:  # simple.R:119-121
+        raise ValueError(
+            "query time series is too short relative to desired window size")
     n, d = data.shape
     nq = query.shape[0]
     p = n - w + 1          # profile over data windows (rows iterate data)

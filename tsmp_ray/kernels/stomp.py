@@ -43,6 +43,12 @@ def stomp(
     """Exact MP. Self-join (with lmp/lpi/rmp/rpi) or AB-join (no exclusion)."""
     if w < 4:
         raise ValueError("window_size must be at least 4")  # stomp.R:48
+    if query is not None and len(query) > len(data):
+        # stomp.R:92-94
+        raise ValueError("query must be smaller or the same size as reference data")
+    qs = len(data) if query is None else len(query)
+    if qs >= w > (qs + 1) // 2:  # stomp.R:95-97 (w > qs → "longer than series")
+        raise ValueError("time series is too short relative to desired window size")
     if query is None:
         return _stomp_self(data, w, ez, row_range=None)
     return _stomp_ab(data, query, w)

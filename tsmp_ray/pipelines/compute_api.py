@@ -33,8 +33,12 @@ def compute(data: np.ndarray, windows=None, query: np.ndarray | None = None,
     """Unified API (compute.R:61-107). For the pan path, ``threshold``
     prunes windows above :func:`pmp_upper_bound` exactly like
     compute.R:96-99 (an explicit list is filtered, a missing list becomes
-    seq(10, min(n/2, upper), length.out=20)); ``threshold=None`` skips
-    the bound and sweeps the given windows as-is."""
+    seq(10, min(n/2, upper), length.out=20)), and the profiles computed
+    DURING the bound search are merged into the returned pan exactly like
+    compute.R:105 (``pmp(..., pmp_obj = res)`` — the result's ``w`` set is
+    the bound trajectory ∪ the filtered request, nothing recomputed);
+    ``threshold=None`` skips the bound and sweeps the given windows
+    as-is."""
     data = np.asarray(data, dtype=np.float64)
     if windows is not None and np.isscalar(windows):
         w = int(windows)
@@ -48,15 +52,18 @@ def compute(data: np.ndarray, windows=None, query: np.ndarray | None = None,
     # multi/no window → upper bound then pan-MP (compute.R:86-107)
     n = len(data)
     cap = n // 2
+    pan_obj = None
     if threshold is not None:
-        cap = min(cap, pmp_upper_bound(data, threshold=threshold, ez=ez))
+        pan_obj = pmp_upper_bound(data, threshold=threshold, ez=ez,
+                                  return_pmp=True)
+        cap = min(cap, pan_obj["upper_window"])
     if windows is None:
         windows = np.unique(np.floor(
             np.linspace(10, max(cap, 11), 20)).astype(int))
     else:
         windows = np.asarray(windows, dtype=int).ravel()
         windows = windows[windows <= cap]
-    return pmp(data, windows, ez=ez)
+    return pmp(data, windows, ez=ez, pmp_obj=pan_obj)
 
 
 def tsmp(data: np.ndarray, window_size: int, mode: str = "stomp",
