@@ -43,6 +43,24 @@ def test_exact_dedup(ray_session):
     assert set(kept["doc_id"]) == {0, 1, 2, 3, 6, 7}
 
 
+def test_exact_dedup_keeps_whole_rows(ray_session):
+    """The survivor is the min-id ROW: a null field on the winner stays
+    null instead of inheriting the loser's value (pandas groupby().first()
+    takes the first NON-NULL per column — the chimera-row bug this pins)."""
+    import ray
+    from tsmp_ray.stages.dedup import exact_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([3, 7], pa.int64()),
+        "text": pa.array(["same text", "same text"]),
+        "lang": pa.array([None, "fr"], pa.string()),
+    })
+    kept = exact_dedup(ray.data.from_arrow(t)).to_pandas()
+    assert len(kept) == 1
+    assert kept["doc_id"].iloc[0] == 3
+    assert pd.isna(kept["lang"].iloc[0])
+
+
 def test_minhash_lsh_dedup(ray_session):
     import ray
     from tsmp_ray.stages.dedup import minhash_lsh_dedup

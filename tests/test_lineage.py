@@ -167,3 +167,28 @@ ray.shutdown()
     crc_b = {k: v["content_crc32"]
              for k, v in Manifest(str(out_b)).data["partitions"].items()}
     assert crc_a == crc_b  # byte-identical partitions after resume
+
+
+def test_compact_recovers_interrupted_rename(tier_ds, tmp_path, ray_session):
+    """A compact killed between its two renames leaves the live partition at
+    '<path>.old'; the next compact must restore it before reading (the old
+    rmtree-then-replace sequence simply LOST those rows)."""
+    from tsmp_ray.stages.retention import compact
+
+    out = str(tmp_path / "tier1m")
+    resumable_write(tier_ds, out, "signal")
+    before = read_partitioned(out, "signal").to_pandas()
+    hi = int(before["bucket_ts"].max())
+    lo = int(before["bucket_ts"].min())
+
+    man = Manifest(out)
+    key = sorted(man.data["partitions"])[0]
+    path = os.path.join(out, key)
+    os.replace(path, path + ".old")  # simulate the crash window
+
+    # ttl keeps everything: the restored partition must be byte-complete
+    status = compact(out, now_us=hi, ttl_us=(hi - lo) + 1)
+    assert status[key] == "unchanged"
+    assert os.path.isdir(path) and not os.path.exists(path + ".old")
+    after = read_partitioned(out, "signal").to_pandas()
+    assert len(after) == len(before)

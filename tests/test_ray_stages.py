@@ -451,3 +451,24 @@ def test_tiers_from_packed_equals_build_tiers(ray_session):
         y = sorted_df(b[tier].to_pandas(), keys)[x.columns.tolist()]
         assert len(x) > 0
         pd.testing.assert_frame_equal(x, y, check_dtype=False)
+
+
+def test_review_guards():
+    """Loud-failure guards added in the round-5 review pass: unordered tier
+    tuples, conv ids without a numeric pairing suffix, and FLOSS chunks
+    that outrun the CAC window (each previously a silent wrong answer)."""
+    from tsmp_ray.stages.floss_stage import FlossState
+    from tsmp_ray.stages.mining_stage import _conv_num
+    from tsmp_ray.stages.rollup import tiers_from_packed
+
+    # tiers must widen and nest — validated before any Dataset work
+    with pytest.raises(ValueError, match="ascending"):
+        tiers_from_packed(None, tiers=("1h", "1m"))
+
+    assert _conv_num("conv000042") == 42
+    with pytest.raises(ValueError, match="numeric suffix"):
+        _conv_num("alpha")
+
+    st = FlossState(w=8, data_window=40)  # CAC window = 33
+    with pytest.raises(ValueError, match="CAC window"):
+        st.append(np.arange(200, dtype=np.float64), chunk=50)

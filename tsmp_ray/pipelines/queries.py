@@ -1451,7 +1451,7 @@ def q_motifs_checked(sf_dir: str):
     sel = packed.sort("conv_id").limit(10)
     return per_conv_stage(
         sel, motifs_checked_op,
-        {"w": CFG.window_size,
+        {"w": CFG.window_size, "ez": CFG.ez,
          "zone": exclusion_zone(CFG.window_size, CFG.ez)})
 
 

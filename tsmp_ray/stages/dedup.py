@@ -123,8 +123,11 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
         return batch.append_column("_h", pa.array(h.astype(np.int64)))
 
     def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(id_col).groupby(text_col, as_index=False, sort=False)
-                  .first())
+        # drop_duplicates keeps whole ROWS: groupby().first() would take the
+        # first NON-NULL value per column, so a null field on the min-id doc
+        # would silently inherit a loser row's value (a chimera row)
+        return g.sort_values(id_col).drop_duplicates(subset=text_col,
+                                                     keep="first")
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")

@@ -67,7 +67,15 @@ class FlossState:
         pi_win[valid] -= base
         cac = floss_cac_online(pi_win, self.w, cac_size,
                                online=self.sp.offset > 0)
-        # extend the global cac record by the newly covered points
+        # extend the global cac record by the newly covered points; if the
+        # chunk outruns the CAC window the slice would silently emit fewer
+        # points than were appended and every later cac_final index would
+        # point at the wrong stream position — refuse instead
+        if len(x) > cac_size:
+            raise ValueError(
+                f"floss chunk of {len(x)} points exceeds the CAC window "
+                f"(data_window - w + 1 = {self.data_window - self.w + 1}); "
+                f"use a smaller chunk or a larger data_window")
         self.cac_final.extend(cac[-len(x):].tolist())
         self._extract(cac, base_offset=self.sp.offset + base)
 

@@ -62,6 +62,20 @@ def _empty_partials() -> pa.Table:
                      "cosine": pa.array([], pa.float64())})
 
 
+def _final_topk(k: int):
+    """Per-query rank merge of k-sized partials, shared by the brute and IVF
+    paths — the brute path is the IVF gate's oracle, so ONE implementation
+    keeps their (-cosine, vec_id) tie-break and ranking in lockstep."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return merge
+
+
 def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
                      query_ids: np.ndarray, k: int = 10,
                      round_dp: int | None = None):
@@ -105,20 +119,28 @@ def brute_force_topk(ds_embeddings, query_matrix: np.ndarray,
     partials = ds_embeddings.map_batches(partial_topk, batch_format="pyarrow",
                                          batch_size=4096)
 
-    def final_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_merge,
+    return partials.groupby("query_id").map_groups(_final_topk(k),
                                                    batch_format="pandas")
 
 
 def train_centroids(ds_embeddings, n_centroids: int = 16, iters: int = 8,
                     sample: int = 2048, seed: int = 5) -> np.ndarray:
-    """Tiny k-means on a driver-side sample (the IVF coarse quantizer)."""
-    pdf = ds_embeddings.limit(sample).to_pandas()
+    """Tiny k-means on a driver-side sample (the IVF coarse quantizer).
+
+    The sample is a seeded per-block Bernoulli draw over the WHOLE corpus
+    (expected size ≈ ``sample``), not ``limit(sample)``: limit takes the
+    first rows, and on a corpus written in conv/topic order the quantizer
+    would only ever see the early clusters — most vectors would then pile
+    into a few buckets and nprobe < n_centroids recall would collapse
+    (the nprobe = n_centroids exactness gate can't catch that bias).
+    ``count()`` on the parquet-backed input is metadata-only."""
+    total = ds_embeddings.count()
+    if total > sample:
+        pdf = ds_embeddings.random_sample(sample / total, seed=seed).to_pandas()
+        if not len(pdf):  # pathological rounding at tiny fractions
+            pdf = ds_embeddings.limit(sample).to_pandas()
+    else:
+        pdf = ds_embeddings.to_pandas()
     m = _normalize(np.stack([np.asarray(e, dtype=np.float64)
                              for e in pdf["embedding"]]))
     rng = np.random.default_rng(seed)
@@ -211,11 +233,5 @@ def ivf_topk(ds_embeddings, query_matrix: np.ndarray, query_ids: np.ndarray,
     partials = ds_embeddings.map_batches(probe_batch, batch_format="pyarrow",
                                          batch_size=4096)
 
-    def final_merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(final_merge,
+    return partials.groupby("query_id").map_groups(_final_topk(k),
                                                    batch_format="pandas")

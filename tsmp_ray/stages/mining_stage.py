@@ -251,21 +251,11 @@ def compute_mstomp(ds_packed, cfg: EngineConfig,
 
 def _sharded_mstomp_ds(big_ds, cfg: EngineConfig,
                        signals: tuple[str, ...], pool: int):
-    import pandas as pd
     import ray
 
-    w = cfg.window_size
+    from .profile_stage import _parallel_block_meta
 
-    @ray.remote(num_cpus=0)
-    def _block_meta(tbl):
-        # num_cpus=0: driver blocks on this planning read (see profile_stage)
-        if isinstance(tbl, pd.DataFrame):
-            if "conv_id" not in tbl.columns:
-                return [], []
-            return tbl["conv_id"].tolist(), tbl["n_turns"].tolist()
-        if "conv_id" not in tbl.column_names:
-            return [], []
-        return tbl["conv_id"].to_pylist(), tbl["n_turns"].to_pylist()
+    w = cfg.window_size
 
     @ray.remote
     def _shard(tbl: pa.Table, row: int, lo: int, hi: int, conv_id: str):
@@ -274,20 +264,20 @@ def _sharded_mstomp_ds(big_ds, cfg: EngineConfig,
         return _mstomp_table(conv_id, res, offset=lo)
 
     table_refs = []
-    for bundle in big_ds.iter_internal_ref_bundles():
-        for block_ref in bundle.block_refs:
-            conv_ids, n_turns = ray.get(_block_meta.remote(block_ref))
-            for row, (cid, n) in enumerate(zip(conv_ids, n_turns)):
-                if n < 2 * w:
-                    continue
-                p = int(n) - w + 1
-                # equal-width index ranges: every query row costs O(p)
-                # (full distance row), so the index axis IS the cost axis
-                n_shards = min(max(2, pool), p)
-                edges = np.linspace(0, p, n_shards + 1).astype(np.int64)
-                table_refs.extend(
-                    _shard.remote(block_ref, row, int(lo), int(hi), cid)
-                    for lo, hi in zip(edges[:-1], edges[1:]) if hi > lo)
+    # one parallel planning wave (profile_stage helper) — the serial
+    # per-block ray.get this replaced cost ~20 ms of driver latency per block
+    for block_ref, conv_ids, n_turns in _parallel_block_meta(big_ds):
+        for row, (cid, n) in enumerate(zip(conv_ids, n_turns)):
+            if n < 2 * w:
+                continue
+            p = int(n) - w + 1
+            # equal-width index ranges: every query row costs O(p)
+            # (full distance row), so the index axis IS the cost axis
+            n_shards = min(max(2, pool), p)
+            edges = np.linspace(0, p, n_shards + 1).astype(np.int64)
+            table_refs.extend(
+                _shard.remote(block_ref, row, int(lo), int(hi), cid)
+                for lo, hi in zip(edges[:-1], edges[1:]) if hi > lo)
     if not table_refs:
         return None
     return ray.data.from_arrow_refs(table_refs)
@@ -878,11 +868,18 @@ def snippet_op(conv_id, batch, r, *, s_size: int, n_snippets: int = 2,
 
 
 def _conv_num(s: str) -> int:
-    """Numeric suffix of a conv id ('c17' → 17, 'conv000042' → 42)."""
+    """Numeric suffix of a conv id ('c17' → 17, 'conv000042' → 42). An id
+    WITHOUT a numeric suffix raises: returning a sentinel would collapse
+    every such conv into one pair group, silently pairing two arbitrary
+    ones and dropping the rest."""
     import re
 
     m = re.search(r"(\d+)$", s)
-    return int(m.group(1)) if m else -1
+    if m is None:
+        raise ValueError(
+            f"conv_pair_stage requires conv ids with a numeric suffix "
+            f"(pairing key = suffix // 2); got {s!r}")
+    return int(m.group(1))
 
 
 def conv_pair_stage(ds_packed, fn, fn_kwargs: dict | None = None):
@@ -904,6 +901,12 @@ def conv_pair_stage(ds_packed, fn, fn_kwargs: dict | None = None):
         if g.num_rows < 2:
             return fn(None, None, None, None, **kw)
         ids = g["conv_id"].to_pylist()
+        if g.num_rows > 2:
+            # duplicate numeric suffixes across prefixes ('a4' and 'b4')
+            # would silently pair two arbitrary members and drop the rest
+            raise ValueError(
+                f"conv_pair_stage: pair group holds {g.num_rows} convs "
+                f"{ids!r}; numeric conv-id suffixes must be unique")
         order = np.argsort([_conv_num(s) for s in ids])
         a, b = int(order[0]), int(order[1])
         sig = kw.get("signal", "text_len")
@@ -1116,6 +1119,7 @@ _MOTIFS_CHECKED_SCHEMA = pa.schema([
 
 
 def motifs_checked_op(conv_id, batch, r, *, w: int, zone: int,
+                      ez: float = DEFAULT_EZ,
                       signal: str = "text_len", round_dp: int = 6,
                       atol: float = 2e-5):
     """Top motif pair + top discord tied to SQL (MOTIFS_CHECKED_SQL): the
@@ -1156,7 +1160,11 @@ def motifs_checked_op(conv_id, batch, r, *, w: int, zone: int,
     disc = int(np.argmax(mp_r))  # argmax takes the FIRST max (ties by i)
     ddist = float(mp_r[disc])
 
-    prof = _auto_profile(x, w)
+    # thread ez so the production profile's exclusion zone matches the
+    # oracle band above (every other checked op does the same; a caller
+    # passing a non-default zone without ez would otherwise gate
+    # mismatched semantics)
+    prof = _auto_profile(x, w, ez)
     motifs = find_motifs(x, prof, n_motifs=1)
     discords = find_discords(x, prof, n_discords=1)
     if motifs and abs(motifs[0]["distance"] - mdist) > atol:

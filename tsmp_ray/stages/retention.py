@@ -56,6 +56,12 @@ def compact(out_dir: str, now_us: int, ttl_us: int) -> dict:
     status: dict[str, str] = {}
     for key in sorted(man.data["partitions"]):
         path = os.path.join(out_dir, key)
+        # crash recovery: a previous compact that died between its two
+        # renames left the live data at path+'.old' — restore it first
+        old = path + ".old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.replace(old, path)
+        shutil.rmtree(old, ignore_errors=True)
         ds = ray.data.read_parquet(path)
         total = ds.count()
         kept = ds.filter(expr=f"bucket_ts >= {cutoff}")
@@ -71,8 +77,13 @@ def compact(out_dir: str, now_us: int, ttl_us: int) -> dict:
         tmp = path + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
         kept.write_parquet(tmp)
-        shutil.rmtree(path)
+        # rename the live dir ASIDE (not rmtree) before promoting tmp: a
+        # crash anywhere in this window leaves the rows on disk — either
+        # still live, or at '.old' where the recovery preamble above
+        # restores them on the next run
+        os.replace(path, old)
         os.replace(tmp, path)
+        shutil.rmtree(old)
         entry = dict(man.data["partitions"][key])
         entry.update(
             rows=n_keep,

@@ -128,10 +128,20 @@ def _fold_group(batch: pa.Table, width: int | None = None,
     b = col["bucket_ts"][order]
     starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
     ends = np.concatenate([starts[1:], [len(b)]])
-    # firsts: row with min first_ts per bucket (stable ties) = segment head
-    # after a (bucket, first_ts) lexsort; lasts: max last_ts = segment tail
-    o1 = np.lexsort((col["first_ts"], col["bucket_ts"]))
-    o2 = np.lexsort((col["last_ts"], col["bucket_ts"]))
+    # firsts: row with min first_ts per bucket = segment head after a
+    # (bucket, first_ts, first_v) lexsort; lasts: max last_ts = segment
+    # tail. The value is the TERTIARY key: when two partials tie on
+    # first_ts (two turns sharing a timestamp, split across partials), a
+    # bare stable sort would break the tie by partial ARRIVAL order —
+    # nondeterministic across runs. With the value key the fold is
+    # deterministic (min value among tied-ts firsts, max among lasts);
+    # under such ties it may differ from tiers_from_packed's
+    # sequence-order pick — the bitwise two-path parity holds on strictly
+    # increasing ts, which all driver datasets satisfy (verified: zero
+    # duplicate (user_id, ts) pairs at sf0.001/0.01/0.1; the SQL oracle's
+    # arg_min(v, ts) is itself tie-arbitrary).
+    o1 = np.lexsort((col["first_v"], col["first_ts"], col["bucket_ts"]))
+    o2 = np.lexsort((col["last_v"], col["last_ts"], col["bucket_ts"]))
     n = np.add.reduceat(col["n"][order], starts)
     sum_v = np.add.reduceat(col["sum_v"][order], starts)
     out = pd.DataFrame({
@@ -371,6 +381,14 @@ def tiers_from_packed(ds_packed, tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     from ..config import TIERS as _T_
 
     widths = [(t, _T_[t]) for t in tiers]
+    # the fold chain assumes strictly WIDENING, evenly-nested tiers: each
+    # coarser tier re-buckets the previous tier's partials, so ("1h", "1m")
+    # would silently attribute hour-level aggregates to minute buckets
+    for (ta, wa), (tb, wb) in zip(widths, widths[1:]):
+        if wb <= wa or wb % wa:
+            raise ValueError(
+                f"tiers must be ascending and evenly nested: {tb!r} ({wb}) "
+                f"does not widen/nest over {ta!r} ({wa})")
 
     def _all(batch: pa.Table) -> pa.Table:
         # accumulate PLAIN NUMPY per column and emit ONE Arrow table per
