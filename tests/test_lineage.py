@@ -192,3 +192,25 @@ def test_compact_recovers_interrupted_rename(tier_ds, tmp_path, ray_session):
     assert os.path.isdir(path) and not os.path.exists(path + ".old")
     after = read_partitioned(out, "signal").to_pandas()
     assert len(after) == len(before)
+
+
+def test_stale_tmp_dir_not_adopted(tier_ds, tmp_path, ray_session):
+    """A '<key>.tmp-<pid>' leftover also starts with '<col>=' and already
+    holds _SUCCESS (written before the promoting rename) — adoption must
+    skip and clear it, not record it as a bogus extra partition whose rows
+    read_partitioned would return twice."""
+    out = str(tmp_path / "tier1m")
+    resumable_write(tier_ds, out, "signal")
+    n_rows = len(read_partitioned(out, "signal").to_pandas())
+
+    man = Manifest(out)
+    key = sorted(man.data["partitions"])[0]
+    stale = os.path.join(out, key + ".tmp-99999")
+    shutil.copytree(os.path.join(out, key), stale)  # crash leftover
+
+    status = resumable_write(tier_ds, out, "signal")
+    assert set(status.values()) == {"skipped"}
+    man2 = Manifest(out)
+    assert not any(".tmp-" in k for k in man2.data["partitions"])
+    assert not os.path.exists(stale)
+    assert len(read_partitioned(out, "signal").to_pandas()) == n_rows

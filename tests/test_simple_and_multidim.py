@@ -159,3 +159,19 @@ def test_mstomp_directional_shapes_and_chains():
     chains = find_chains_multidim(ms)
     assert set(chains) == {1, 2}
     assert all("best" in c for c in chains.values())
+
+
+def test_compute_pan_floor_on_noisy_series():
+    """White noise fails the bound at the very first doubling window; the
+    floor case must keep the tested w=8 profile (upper_window=8 drops every
+    requested window in pmp's merge filter, so an empty floor store would
+    erase the whole pan — the regression this pins)."""
+    from tsmp_ray.kernels.mpx import mpx
+    from tsmp_ray.pipelines.compute_api import compute
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(100)
+    pan = compute(x)
+    assert pan["upper_window"] == 8
+    assert pan["w"] == [8]
+    np.testing.assert_allclose(pan["pmp"][8], mpx(x, 8).mp, atol=1e-9)

@@ -598,8 +598,13 @@ def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
         windows.append(w)
         w *= 2
     if not windows:
-        # even the smallest window fails: floor at the start point
-        return result(8, [])
+        # even the smallest window fails: floor at the start point. With
+        # return_pmp, KEEP the tested w=8 profile (the refine phase's
+        # first-failing-window rule applied to the floor): upper_window=8
+        # makes pmp's `w < upper` filter drop every requested window, so an
+        # empty store here would erase compute()'s whole pan on noisy
+        # series where no window reaches the threshold.
+        return result(8, [8] if 8 in store_p else [])
     if w <= max_w:
         for step in np.arange(refine_stepsize, 1.0 - 1e-5, refine_stepsize):
             wt = int(2 * round(((step + 1.0) * w / 2.0) / 2.0))

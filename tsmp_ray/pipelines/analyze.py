@@ -16,8 +16,8 @@ from __future__ import annotations
 
 from ..config import EngineConfig
 from ..stages.profile_stage import compute_profiles
-from ..stages.rollup import fold_tier, gap_fill_tier, rollup_from_signals
-from ..stages.signals import derive_signals, pack_series, unpack_signals
+from ..stages.rollup import fold_tier, rollup_from_signals
+from ..stages.signals import pack_series, unpack_signals
 
 
 def build_tiers(ds_signals, cfg: EngineConfig, gap_fill: bool | None = None):

@@ -58,8 +58,10 @@ def compute(data: np.ndarray, windows=None, query: np.ndarray | None = None,
                                   return_pmp=True)
         cap = min(cap, pan_obj["upper_window"])
     if windows is None:
+        # seq(10, cap, length.out=20) — R's seq is happy DESCENDING when
+        # cap < 10 (short series), giving {cap..10}; unique() re-sorts
         windows = np.unique(np.floor(
-            np.linspace(10, max(cap, 11), 20)).astype(int))
+            np.linspace(10, cap, 20)).astype(int))
     else:
         windows = np.asarray(windows, dtype=int).ravel()
         windows = windows[windows <= cap]

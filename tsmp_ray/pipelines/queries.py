@@ -174,8 +174,8 @@ WITH f AS (
   SELECT doc_id,
          greatest(length(text), 1) AS L,
          CAST(length(text) AS DOUBLE) AS flen,
-         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-         regexp_extract_all(text, '\w+') AS words,
+         len(regexp_extract_all(text, '[^\p{L}\p{N}_\s\p{Z}]')) AS n_punct,
+         regexp_extract_all(text, '[\p{L}\p{N}_]+') AS words,
          len(regexp_extract_all(text, '[A-Z]')) AS n_upper
   FROM documents
 ),
@@ -903,7 +903,7 @@ FROM d GROUP BY 1, 2, 3
 LANG_ID_SQL = """
 WITH t AS (
   SELECT doc_id, lang,
-         list_transform(regexp_extract_all(text, '[\\w''’]+'), w -> lower(w)) AS toks,
+         list_transform(regexp_extract_all(text, '[\\p{L}\\p{N}_''’]+'), w -> lower(w)) AS toks,
          regexp_matches(text, '[一-鿿぀-ヿ]') AS cjk
   FROM documents
 ),
@@ -1024,7 +1024,7 @@ WHERE round(d.dot / (na.nrm * nb.nrm), 6) >= 0.4
 
 TOKEN_COUNTS_SQL = r"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(length(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+       CAST(length(regexp_extract_all(text, '[\p{L}\p{N}_]+')) AS BIGINT) AS n_tokens
 FROM documents
 """
 
@@ -1123,7 +1123,9 @@ def q_gap_fill_1d(sf_dir: str):
 def q_retention_1m(sf_dir: str):
     """TTL filter relative to the dataset's own max bucket (deterministic):
     keep the trailing 7 days of 1m points."""
-    t1m = rollup_from_signals(_signals(sf_dir), "1m")
+    # materialize: max() and apply_retention() both consume t1m — without
+    # this the whole events→signals→rollup lineage executes twice
+    t1m = rollup_from_signals(_signals(sf_dir), "1m").materialize()
     hi = int(t1m.max("bucket_ts"))
     return apply_retention(t1m, now_us=hi, ttl_us=7 * 86_400_000_000) \
         .select_columns(ROLLUP_COLUMNS)

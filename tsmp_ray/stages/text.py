@@ -84,8 +84,11 @@ _BPE_RE = re.compile(r"[A-Z]?[a-z]+|[A-Z]+(?![a-z])|\d+|[^\w\s]", re.UNICODE)
 
 def token_counts(batch: pa.Table) -> pa.Table:
     """(doc_id, n_chars, n_tokens, n_pieces): whitespace/word tokens plus a
-    BPE-ish regex piece count. ``n_tokens`` = count of ``\\w+`` matches —
-    exactly ``length(regexp_extract_all(text, '\\w+'))`` in the SQL oracle."""
+    BPE-ish regex piece count. ``n_tokens`` = count of Unicode ``\\w+``
+    matches — exactly ``length(regexp_extract_all(text,
+    '[\\p{L}\\p{N}_]+'))`` in the SQL oracle (RE2's bare ``\\w`` is
+    ASCII-only, so the oracle spells out the Unicode classes; parity on
+    non-ASCII text is pinned in tests)."""
     texts = batch["text"].to_pylist()
     n_tokens = np.fromiter((len(_TOKEN_RE.findall(t)) for t in texts),
                            dtype=np.int64, count=len(texts))

@@ -92,11 +92,21 @@ def resumable_write(ds, out_dir: str, partition_col: str,
 
     man = Manifest(out_dir)
 
-    # adopt partitions a crashed run finished but never recorded
+    # adopt partitions a crashed run finished but never recorded. A
+    # '<key>.tmp-<pid>' leftover also starts with '<partition_col>=' and
+    # already holds _SUCCESS (written before the promoting rename), so a
+    # crash in that window would otherwise adopt the tmp dir as a bogus
+    # extra partition — read_partitioned would then return its rows twice.
+    # Tmp leftovers are never adoptable (the rename is the commit point);
+    # clear them so a rewrite by a different pid doesn't strand them.
     for d in sorted(os.listdir(out_dir)):
+        if not d.startswith(f"{partition_col}="):
+            continue
+        if ".tmp-" in d:
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+            continue
         marker = os.path.join(out_dir, d, "_SUCCESS")
-        if d.startswith(f"{partition_col}=") and not man.done(d) \
-                and os.path.exists(marker):
+        if not man.done(d) and os.path.exists(marker):
             with open(marker) as f:
                 man.record(d, json.load(f))
 
