@@ -168,3 +168,18 @@ def test_materialize_shared_ctes_rules():
     # and the real dict went through it: the known-heavy oracles are marked
     for name in ("snippets_checked", "mstomp_checked", "chains_checked"):
         assert "MATERIALIZED" in ORACLES[name], name
+
+
+def test_cac_kernel_skips_short_series():
+    """stomp now mirrors the reference's too-short guard (w > ceil(n/2)
+    raises); the registry 'cac' kernel must not let that fail a whole
+    kernel_stage pass — a conv with n < 2w contributes zero rows instead
+    (the stage-wide `len < 2w → skip` convention)."""
+    from tsmp_ray.functions.registry import get_kernel
+
+    cac = get_kernel("cac")
+    out = cac(np.arange(12, dtype=np.float64), w=8)
+    assert out["cac"].size == 0
+    rng = np.random.default_rng(3)
+    out = cac(np.cumsum(rng.standard_normal(64)), w=8)
+    assert out["cac"].size > 0

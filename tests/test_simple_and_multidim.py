@@ -162,16 +162,22 @@ def test_mstomp_directional_shapes_and_chains():
 
 
 def test_compute_pan_floor_on_noisy_series():
-    """White noise fails the bound at the very first doubling window; the
-    floor case must keep the tested w=8 profile (upper_window=8 drops every
-    requested window in pmp's merge filter, so an empty floor store would
-    erase the whole pan — the regression this pins)."""
+    """White noise fails the bound at the very first doubling window. The
+    reference's refine grid still runs (pmp.R:322 gates only on
+    window_size <= max_window): from failing w=8 it tests {4, 6, 8}, so the
+    bound refines BELOW the starting point and the pan keeps the tested
+    profiles — an empty pan here was the regression this pins. On this
+    seed: 4 passes, 6 fails → upper 6, pan {4, 6}."""
+    from tsmp_ray.kernels.mining import pmp_upper_bound
     from tsmp_ray.kernels.mpx import mpx
     from tsmp_ray.pipelines.compute_api import compute
 
     rng = np.random.default_rng(0)
     x = rng.standard_normal(100)
     pan = compute(x)
-    assert pan["upper_window"] == 8
-    assert pan["w"] == [8]
-    np.testing.assert_allclose(pan["pmp"][8], mpx(x, 8).mp, atol=1e-9)
+    assert pan["upper_window"] == 6
+    assert pan["w"] == [4, 6]
+    for w in (4, 6):
+        np.testing.assert_allclose(pan["pmp"][w], mpx(x, w).mp, atol=1e-9)
+    # nothing testable at all (n < 16): bare-int floor at the start point
+    assert pmp_upper_bound(rng.standard_normal(12), threshold=0.98) == 8

@@ -52,6 +52,26 @@ def exclusion_zone(window_size: int, ez: float = DEFAULT_EZ) -> int:
     return int(round(window_size * ez + EPS))
 
 
+def raise_if_too_short(n: int, w: int, *, ceiling: bool,
+                       what: str = "time series") -> None:
+    """The reference's too-short guard, single-sourced (the kernels mirror
+    their own reference file's convention — two exist):
+
+    - ``ceiling=True``: refuse ``w > ceil(n/2)`` (stomp.R:95-97,
+      scrimp.R:95-97, stamp.R:106-108) — but NOT ``w > n``, which those
+      kernels report as "longer than series" (pinned message).
+    - ``ceiling=False``: refuse ``2*w > n`` outright (mstomp.R:101-103,
+      simple.R:116-121, valmod.R:96-98 use plain ``n/2``).
+    """
+    if ceiling:
+        bad = n >= w > (n + 1) // 2
+    else:
+        bad = 2 * w > n
+    if bad:
+        raise ValueError(
+            f"{what} is too short relative to desired window size")
+
+
 # Rollup tier definitions: name -> bucket width in microseconds.
 TIERS: dict[str, int] = {
     "1m": 60 * 1_000_000,

@@ -120,6 +120,11 @@ def _cac_kernel(series: np.ndarray, w: int = 8):
     from ..kernels.mining import fluss_cac
     from ..kernels.stomp import stomp
 
+    if len(series) < 2 * w:
+        # stomp mirrors the reference's too-short guard; a short conv
+        # contributes ZERO rows (every stage's `len < 2w → skip`
+        # convention) instead of failing the whole kernel_stage pass
+        return {"cac": np.empty(0, dtype=np.float64)}
     prof = stomp(series, w)
     return {"cac": fluss_cac(prof)}
 

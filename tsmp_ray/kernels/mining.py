@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..config import DEFAULT_EZ, EPS, exclusion_zone
+from ..config import DEFAULT_EZ, EPS, exclusion_zone, raise_if_too_short
 from .mass import mass_pre, mass_v3
 from .movstats import binary_split, complexity, movmin, znorm, zero_crossings, zero_one_norm
 from .mpx import mpx
@@ -518,7 +518,7 @@ def pmp(data: np.ndarray, windows: np.ndarray | list[int],
         windows = [w for w in windows
                    if w not in done and (ub is None or w < ub)]
     windows = np.asarray(windows, dtype=int)
-    order = binary_split(len(windows)) if len(windows) else []
+    order = binary_split(len(windows))  # [] for an empty request
     if n_windows is not None:
         order = order[:n_windows]
     out_p: dict[int, np.ndarray] = {}
@@ -571,16 +571,23 @@ def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
     max_w = n // 2
     store_p: dict[int, np.ndarray] = {}
     store_i: dict[int, np.ndarray] = {}
+    tested: dict[int, float] = {}
 
     def corr_max(w: int) -> float:
+        # memoized: the refine grid from an immediately-failing w=8 is
+        # {4, 6, 8} (banker's rounding lands the last step back on w), so
+        # w=8 would otherwise be profiled twice
+        if w in tested:
+            return tested[w]
         prof = mpx(data, w, ez=ez)
         if return_pmp:
             store_p[w] = prof.mp
             store_i[w] = prof.pi
         finite = prof.mp[np.isfinite(prof.mp)]
-        if len(finite) == 0:
-            return -np.inf
-        return float(1.0 - (finite.min() ** 2) / (2.0 * w))
+        c = -np.inf if len(finite) == 0 else \
+            float(1.0 - (finite.min() ** 2) / (2.0 * w))
+        tested[w] = c
+        return c
 
     def result(upper: int, windows: list[int]) -> int | dict:
         if not return_pmp:
@@ -597,20 +604,20 @@ def pmp_upper_bound(data: np.ndarray, threshold: float = 0.95,
             break  # failing doubling window NOT kept (pmp.R:307-315)
         windows.append(w)
         w *= 2
-    if not windows:
-        # even the smallest window fails: floor at the start point. With
-        # return_pmp, KEEP the tested w=8 profile (the refine phase's
-        # first-failing-window rule applied to the floor): upper_window=8
-        # makes pmp's `w < upper` filter drop every requested window, so an
-        # empty store here would erase compute()'s whole pan on noisy
-        # series where no window reaches the threshold.
-        return result(8, [8] if 8 in store_p else [])
     if w <= max_w:
+        # the refine grid runs even when the FIRST doubling window failed —
+        # pmp.R:322 gates only on window_size <= max_window, so from a
+        # failing w=8 the reference refines BELOW its starting point over
+        # {4, 6, 8} and the bound can come out 4 or 6
         for step in np.arange(refine_stepsize, 1.0 - 1e-5, refine_stepsize):
             wt = int(2 * round(((step + 1.0) * w / 2.0) / 2.0))
             windows.append(wt)  # refine keeps the first FAILING window too
             if corr_max(wt) < threshold:
                 break
+    if not windows:
+        # nothing was testable (n < 16 → max_w < 8): engine floor at the
+        # start point, empty pan store
+        return result(8, [])
     return result(max(windows), windows)
 
 
@@ -663,8 +670,7 @@ def valmod(data: np.ndarray, window_min: int, window_max: int,
                 "valmod join requires equal-length series "
                 "(valmod.R:90-92: different sizes not implemented)")
     qs = len(data) if query is None else len(query)
-    if 2 * window_min > qs:  # valmod.R:96-98 (window_min > query_size/2)
-        raise ValueError("time series is too short relative to desired window size")
+    raise_if_too_short(qs, window_min, ceiling=False)  # valmod.R:96-98
     if query is None and lb:
         return _valmod_pruned(data, window_min, window_max, ez, heap_size)
     p_out = len(data) - window_min + 1

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import DEFAULT_EZ, exclusion_zone
+from ..config import DEFAULT_EZ, exclusion_zone, raise_if_too_short
 from .mass import mass_pre, _qt_fft, clean_series
 from .movstats import mov_stats
 
@@ -67,8 +67,7 @@ def mstomp(
     p = n - w + 1
     if p < 1:
         raise ValueError(f"window {w} longer than series {n}")
-    if 2 * w > n:  # mstomp.R:101-103 (w > data_size / 2, no ceiling)
-        raise ValueError("time series is too short relative to desired window size")
+    raise_if_too_short(n, w, ceiling=False)  # mstomp.R:101-103 (plain n/2)
     if w < 4:
         raise ValueError("window_size must be at least 4")
     must = sorted(set(must_dim or []))

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import DEFAULT_EZ, exclusion_zone
+from ..config import DEFAULT_EZ, exclusion_zone, raise_if_too_short
 from .mass import mass_pre, mass_v3
 from .mpx import MpxState, _Best, _diag_self, _finalize_self, prepare_series
 from .profile_types import MatrixProfile, merge_min
@@ -141,8 +141,7 @@ def scrimp(
     fraction of w; 0 disables the PRE phase."""
     if w < 4:
         raise ValueError("window_size must be at least 4")  # scrimp.R:60
-    if len(data) >= w > (len(data) + 1) // 2:  # scrimp.R:95-97
-        raise ValueError("time series is too short relative to desired window size")
+    raise_if_too_short(len(data), w, ceiling=True)  # scrimp.R:95-97
     state = prepare_series(data, w)
     zone = exclusion_zone(w, ez)
     rng = np.random.default_rng(seed)
@@ -185,8 +184,7 @@ def stamp(
     if query is not None:
         from .stomp import stomp as _stomp
         return _stomp(data, w, query=query, ez=ez)  # stomp() mirrors stamp.R:103-109
-    if len(data) >= w > (len(data) + 1) // 2:  # stamp.R:106-108
-        raise ValueError("time series is too short relative to desired window size")
+    raise_if_too_short(len(data), w, ceiling=True)  # stamp.R:106-108
     state = prepare_series(data, w)
     zone = exclusion_zone(w, ez)
     pre = mass_pre(state.x, w)

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import DEFAULT_EZ, exclusion_zone
+from ..config import DEFAULT_EZ, exclusion_zone, raise_if_too_short
 from .profile_types import MatrixProfile, empty_profile
 
 __all__ = ["simple_fast"]
@@ -61,12 +61,11 @@ def simple_fast(
         raise ValueError(
             f"data and query dimensions must be the same "
             f"({data.shape[1]} vs {query.shape[1]} — simple.R:72-78)")
-    if 2 * w > data.shape[0]:  # simple.R:116-118 (covers w > n too)
-        raise ValueError(
-            "reference time series is too short relative to desired window size")
-    if 2 * w > query.shape[0]:  # simple.R:119-121
-        raise ValueError(
-            "query time series is too short relative to desired window size")
+    # simple.R:116-121 (plain n/2, covers w > n too)
+    raise_if_too_short(data.shape[0], w, ceiling=False,
+                       what="reference time series")
+    raise_if_too_short(query.shape[0], w, ceiling=False,
+                       what="query time series")
     n, d = data.shape
     nq = query.shape[0]
     p = n - w + 1          # profile over data windows (rows iterate data)

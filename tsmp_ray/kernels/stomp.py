@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import DEFAULT_EZ, exclusion_zone
+from ..config import DEFAULT_EZ, exclusion_zone, raise_if_too_short
 from .mass import MassPre, mass_pre, _qt_fft
 from .profile_types import MatrixProfile, empty_profile
 
@@ -47,8 +47,7 @@ def stomp(
         # stomp.R:92-94
         raise ValueError("query must be smaller or the same size as reference data")
     qs = len(data) if query is None else len(query)
-    if qs >= w > (qs + 1) // 2:  # stomp.R:95-97 (w > qs → "longer than series")
-        raise ValueError("time series is too short relative to desired window size")
+    raise_if_too_short(qs, w, ceiling=True)  # stomp.R:95-97
     if query is None:
         return _stomp_self(data, w, ez, row_range=None)
     return _stomp_ab(data, query, w)
