@@ -15,7 +15,9 @@ Prints ONE JSON line:
      "sf": ..., "num_cpus": N, "n_turns": ..., "turns_per_sec": ...}
 
 ``--scaling``: same job in fresh processes at num_cpus=2 then 8 by default
-(one warm-up run first), reporting both throughputs + efficiency — the
+(two level-interleaved reps each; every subprocess does its own untimed
+probe-gated wait + worker prewarm, and the first rep additionally warms
+the generated-input cache), reporting both throughputs + efficiency — the
 sandbox stand-in for the N vs 4N cluster rule. Override with
 $SCALE_LO/$SCALE_HI; see BASELINE.md for why full-chip pairs (8→32) are
 capped ~0.70 by the box itself (``--control`` measures that ceiling).
@@ -52,11 +54,13 @@ if os.environ.get("MALLOC_MMAP_THRESHOLD_") != "1073741824":
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 #: synthetic workload sizing per driver scale factor:
-#: (n_convs, mean_turns, long_conv_turns) — long conv exceeds the salting
-#: threshold to exercise diagonal sharding
-#: (n_convs, mean_turns, long_conv_turns, max_turns): the zipf tail is capped
-#: BELOW the salting threshold (20k) so exactly one forced conversation
-#: exercises the diagonal-shard path
+#: (n_convs, mean_turns, long_conv_turns, max_turns). The effective shard
+#: cut is min(GRAFT_HEAVY_TURNS = 10k, salt_turn_threshold = 20k) = 10k
+#: (profile_stage round 5), so the composition per shape is: sf0.001 /
+#: sf0.01 — long conv (2k / 8k) stays BELOW the cut, zero sharded convs;
+#: sf0.1 / scaling — the forced 24k conv PLUS every zipf-tail conv in
+#: (10k, max_turns] strip-shards (a handful at these caps). All round-4/5
+#: recorded numbers were measured on exactly this composition.
 BENCH_SHAPES = {
     "sf0.001": (20, 150, 2_000, 1_200),
     "sf0.01": (60, 800, 8_000, 6_000),
@@ -93,14 +97,26 @@ def ensure_bench_transcripts(sf_dir: str) -> tuple[str, int]:
 
 
 def _fault_probe_mb_s() -> float:
-    """First-touch speed of a fresh 200 MB mmap — the sandbox host oscillates
-    between ~4 GB/s and ~5 MB/s phases (minutes-long, external to us)."""
+    """First-touch speed of 200 MB of FRESH anonymous-mmap pages — the
+    sandbox host oscillates between ~4 GB/s and ~5 MB/s phases
+    (minutes-long, external to us). The mmap is explicit because this
+    process's own malloc tuning (MALLOC_MMAP_THRESHOLD_ = 1 GiB) keeps a
+    200 MB numpy buffer on the RETAINED heap: only the first heap-based
+    probe per process ever measured real faults — every later call read
+    warm memset bandwidth, so the consecutive-probe gate couldn't see an
+    ongoing slow-fault phase at all."""
+    import mmap
+
     import numpy as np
 
     t0 = time.time()
-    x = np.empty(25_000_000)
-    x.fill(1.0)
-    return 200.0 / max(time.time() - t0, 1e-9)
+    m = mmap.mmap(-1, 200 * 1024 * 1024)
+    x = np.frombuffer(m, dtype=np.uint8)
+    x[:] = 1
+    dt = max(time.time() - t0, 1e-9)
+    del x
+    m.close()
+    return 200.0 / dt
 
 
 def _cpu_probe_units_s() -> float:
@@ -453,10 +469,18 @@ def run_control() -> dict:
 
     def agg(k: int) -> float:
         with mp.Pool(k) as p:
+            # untimed warm-up: each fresh pool worker pays numpy import +
+            # BLAS first-touch (seconds in a slow-fault phase) — timing it
+            # would contaminate the "pure-CPU ceiling" this measures
+            p.map(_control_work, [1] * k)
             t0 = time.time()
             p.map(_control_work, [400] * (k * 3))
             return (k * 3) / (time.time() - t0)
 
+    # same untimed phase gate as run_bench: a ceiling recorded in a slow
+    # CPU phase would misstate the box's capability
+    wait_out_slow_phase()
+    cpu_probe0 = _cpu_probe_units_s()
     hi = agg(hi_n)
     lo = agg(lo_n)
     hi = max(hi, agg(hi_n))
@@ -464,7 +488,9 @@ def run_control() -> dict:
     return {"cpus": [lo_n, hi_n],
             f"units_per_sec_{lo_n}": round(lo, 2),
             f"units_per_sec_{hi_n}": round(hi, 2),
-            "control_efficiency": round((hi / lo) / (hi_n / lo_n), 3)}
+            "control_efficiency": round((hi / lo) / (hi_n / lo_n), 3),
+            "host_cpu_probe_start_units_s": round(cpu_probe0, 1),
+            "host_cpu_probe_units_s": round(_cpu_probe_units_s(), 1)}
 
 
 if __name__ == "__main__":

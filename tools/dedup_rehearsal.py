@@ -1,10 +1,13 @@
 """Many-doc dedup rehearsal (round-4 verdict item 6): run the minhash path
 at the shape the sandbox tables never reach — ~1M short documents with a
-planted near-dup rate — and record that
+planted near-dup rate — and record
 
-1. `_n_parts` actually scales the salted fanout with the row count,
-2. the `_verify_jaccard` size gate flips to the hash-join plan when the
-   candidate-text side exceeds the 256 MB broadcast budget,
+1. the `_n_parts` fanout the timed run actually used (the bucket shuffle
+   now threads its band-row count) plus a beyond-the-CPU-floor sample
+   showing the row-count term taking over (the derivation itself is pinned
+   by tests/test_dataops.py::test_n_parts_scales_with_input),
+2. the `_verify_jaccard` size gate's two plans (broadcast vs the forced
+   hash-join it switches to past the 256 MB budget) — pair-identical,
 3. wall time and found-pair count at the shape.
 
 Deterministic generator (doc i duplicated with a one-token edit when
@@ -19,7 +22,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+# script-location-relative, not cwd-relative: the tool must import tsmp_ray
+# when launched from any directory
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # sandbox perf rule (CLAUDE.md): every entry point that times Ray work must
 # set the malloc/hugetlb tuning BEFORE ray.init — glibc reads these only at
@@ -69,15 +74,22 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False)
+        # honor RAY_GRAFT_CPUS like bench.py so the recorded throughput is
+        # comparable to bench numbers on the same box
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False)
     from tsmp_ray.stages import dedup as dd
 
     ds = ray.data.range(N_DOCS).map_batches(
         make_docs, batch_format="pyarrow").materialize()
 
-    # 1. fanout scaling: the derived partition count grows with rows
+    # 1. fanout: what the timed run's bucket shuffle uses (band-row count =
+    # 16 bands × docs — below ~2M docs the 2×CPU floor dominates), plus a
+    # beyond-the-floor sample showing the row-count term take over
     parts_small = dd._n_parts(10_000)
-    parts_here = dd._n_parts(N_DOCS * 16)  # band-row count = 16 bands × rows
+    parts_here = dd._n_parts(N_DOCS * 16)
+    parts_100m_docs = dd._n_parts(100_000_000 * 16)
 
     # 2. both verify plans at the many-doc shape: the default broadcast
     # (candidate texts are the near-dup subset — small) and the forced
@@ -107,6 +119,7 @@ def main():
         "planted_pairs": expect_planted,
         "n_parts_small_input": parts_small,
         "n_parts_this_input": parts_here,
+        "n_parts_100m_docs": parts_100m_docs,
         "broadcast_budget_mb": dd._BROADCAST_TEXT_BYTES // (1024 * 1024),
     }
     print(json.dumps(out))

@@ -312,8 +312,15 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, bands: int = 16,
             }
         )
 
-    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow")
-    cand = _bucket_pairs(band_ds, ["band", "bhash"]).materialize()
+    # materialize the (small: band, bhash, doc_id) band rows so their count
+    # is free metadata — the salted shuffle right after materializes its
+    # input anyway. Threading the count keeps the bucket-pairing fanout
+    # memory-bounded at ≤ _TARGET_ROWS_PER_PART rows per partition at any
+    # corpus size (without it the fanout was the CPU-derived default, so
+    # partition size grew linearly with the corpus).
+    band_ds = sig_ds.map_batches(to_bands, batch_format="pyarrow").materialize()
+    cand = _bucket_pairs(band_ds, ["band", "bhash"],
+                         n_parts=_n_parts(band_ds.count())).materialize()
     return _verify_jaccard(ds, cand, threshold, shingle_n,
                            force_join=force_join)
 
@@ -541,8 +548,9 @@ def simhash_dedup(ds, max_hamming: int = 3):
                          "doc_id": pa.array(np.concatenate(outd)),
                          "simhash": pa.array(np.concatenate(outs))})
 
-    cand = _bucket_pairs(sig.map_batches(to_chunks, batch_format="pyarrow"),
-                         ["chunk", "chash"], carry=["simhash"])
+    chunk_ds = sig.map_batches(to_chunks, batch_format="pyarrow").materialize()
+    cand = _bucket_pairs(chunk_ds, ["chunk", "chash"], carry=["simhash"],
+                         n_parts=_n_parts(chunk_ds.count()))
 
     def verify(batch: pa.Table) -> pa.Table:
         schema = pa.schema([("doc_id", pa.int64()), ("dup_id", pa.int64()),
@@ -866,8 +874,10 @@ def embedding_dedup_lsh(ds_embeddings, *, threshold: float = 0.95,
                  for e in embs]),
         })
 
-    bucket_ds = ds_embeddings.map_batches(bucketize, batch_format="pyarrow")
-    cand = _bucket_pairs(bucket_ds, ["table", "bucket"], carry=["embedding"])
+    bucket_ds = ds_embeddings.map_batches(bucketize,
+                                          batch_format="pyarrow").materialize()
+    cand = _bucket_pairs(bucket_ds, ["table", "bucket"], carry=["embedding"],
+                         n_parts=_n_parts(bucket_ds.count()))
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if not len(g):
