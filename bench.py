@@ -111,6 +111,14 @@ def _fault_probe_mb_s() -> float:
 
     t0 = time.time()
     m = mmap.mmap(-1, 200 * 1024 * 1024)
+    try:
+        # measure the same fault path the engine's allocations take: the
+        # hugetlb tunable makes glibc madvise ITS arena mmaps (THP is
+        # madvise-mode on this box, ~100× in historical fast phases); a raw
+        # anonymous mmap gets no madvise and would read the untuned path
+        m.madvise(mmap.MADV_HUGEPAGE)
+    except (AttributeError, OSError):
+        pass
     x = np.frombuffer(m, dtype=np.uint8)
     x[:] = 1
     dt = max(time.time() - t0, 1e-9)
