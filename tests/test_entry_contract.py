@@ -13,6 +13,10 @@ SF = "/root/testdata/sf0.001"
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
+#: no-oracle queries allowed to return zero rows at the tiny sf0.001 scale
+#: (verified empirically); anything else returning 0 rows is a failure
+MAY_BE_EMPTY_AT_SF0001: set[str] = set()
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -58,8 +62,13 @@ def test_all_queries_run_and_oracles_match(ray_session, con):
         except Exception as e:  # keep going: report ALL broken queries
             failures.append((name, f"EXECUTION ERROR: {e!r}"[:800]))
             continue
-        assert len(got) >= 0  # runs, has a schema
+        assert got.shape[1] > 0  # a real schema came back
         if name not in oracles:
+            # oracle rows get row-count checks below; no-oracle demos must
+            # still produce rows (the old `len >= 0` could never fail) —
+            # except the ones that are legitimately empty at sf0.001
+            if len(got) == 0 and name not in MAY_BE_EMPTY_AT_SF0001:
+                failures.append((name, "0 rows from a no-oracle query"))
             continue
         want = con.sql(oracles[name]).df()
         g, w = canon(got), canon(want)

@@ -36,16 +36,40 @@ def sinusoid_with_motifs(n=300, seed=5):
     return x
 
 
-def assert_profiles_equal(a, b, *, check_pi=True, check_directional=True, atol=ATOL):
-    np.testing.assert_allclose(a.mp, b.mp, atol=atol)
-    if check_pi:
-        # pi may legitimately differ on exact ties; verify the distances match
-        # at each other's indices instead of exact index equality
-        diff = a.pi != b.pi
-        assert (np.abs(a.mp[diff] - b.mp[diff]) <= atol).all()
+def recomputed_pair_dists(x, w, i_idx, j_idx):
+    """Independently recomputed z-normalized distances for (i, j) window
+    pairs — the check that a profile's pi actually points at windows
+    ACHIEVING its mp values (correct distances with garbage indices would
+    otherwise pass every mp-only comparison)."""
+    from tsmp_ray.kernels.brute import _znorm_windows
+    from tsmp_ray.kernels.mass import clean_series
+
+    xc, _skip = clean_series(np.asarray(x, dtype=np.float64), w)
+    z, _ok = _znorm_windows(xc, w)
+    d = z[np.asarray(i_idx)] - z[np.asarray(j_idx)]
+    return np.sqrt((d * d).sum(axis=1))
+
+
+def assert_pi_achieves_mp(prof, x, w, atol=ATOL):
+    ok = np.isfinite(prof.mp) & (prof.pi >= 0)
+    ii = np.flatnonzero(ok)
+    assert len(ii) > 0
+    d = recomputed_pair_dists(x, w, ii, prof.pi[ii])
+    np.testing.assert_allclose(d, prof.mp[ii], atol=atol)
+
+
+def assert_profiles_equal(a, b, *, check_pi=True, check_directional=True,
+                          atol=ATOL, x=None, w=None, err_msg=""):
+    np.testing.assert_allclose(a.mp, b.mp, atol=atol, err_msg=err_msg)
+    if check_pi and x is not None:
+        # pi may legitimately differ on exact ties, so exact index equality
+        # is wrong — instead require each profile's OWN (i, pi[i]) pair to
+        # achieve mp[i] under an independent recomputation
+        assert_pi_achieves_mp(a, x, w, atol=atol)
+        assert_pi_achieves_mp(b, x, w, atol=atol)
     if check_directional and a.lmp is not None and b.lmp is not None:
-        np.testing.assert_allclose(a.lmp, b.lmp, atol=atol)
-        np.testing.assert_allclose(a.rmp, b.rmp, atol=atol)
+        np.testing.assert_allclose(a.lmp, b.lmp, atol=atol, err_msg=err_msg)
+        np.testing.assert_allclose(a.rmp, b.rmp, atol=atol, err_msg=err_msg)
 
 
 @pytest.mark.parametrize("w", [8, 30])
@@ -62,7 +86,8 @@ def test_exact_agreement_matrix(w, maker):
     ]:
         got = fn()
         assert_profiles_equal(got, oracle,
-                              check_directional=got.lmp is not None), name
+                              check_directional=got.lmp is not None,
+                              x=x, w=w, err_msg=name)
 
 
 def test_pi_partners_are_consistent():
@@ -70,10 +95,19 @@ def test_pi_partners_are_consistent():
     w = 20
     prof = stomp(x, w)
     oracle = brute_mp(x, w)
-    # where finite, pi must point at a window whose distance equals mp
+    # where finite, pi must point at a window whose RECOMPUTED distance
+    # equals mp — not merely be nonnegative (correct-mp/garbage-pi passed
+    # the old form of this test)
     ok = np.isfinite(prof.mp)
     assert (prof.pi[ok] >= 0).all()
     np.testing.assert_allclose(prof.mp, oracle.mp, atol=ATOL)
+    assert_pi_achieves_mp(prof, x, w)
+    # and the directional indices achieve their own profiles too
+    for mp_d, pi_d in ((prof.lmp, prof.lpi), (prof.rmp, prof.rpi)):
+        m = np.isfinite(mp_d) & (pi_d >= 0)
+        ii = np.flatnonzero(m)
+        d = recomputed_pair_dists(x, w, ii, pi_d[ii])
+        np.testing.assert_allclose(d, mp_d[ii], atol=ATOL)
 
 
 def test_flat_and_nan_windows_are_skipped():
@@ -133,7 +167,7 @@ def test_mpx_diagonal_sharding_min_merges_to_full():
     for prt in parts[1:]:
         merged = merge_min(merged, prt)
     full = mpx(x, w)
-    assert_profiles_equal(merged, full)
+    assert_profiles_equal(merged, full, x=x, w=w)
 
 
 def test_blocked_strip_sharding_distances_bit_identical_indices_argmin():
@@ -289,7 +323,7 @@ def brute_mstomp(data, w, ez=0.5):
     cum = np.cumsum(srt, axis=0) / np.arange(1, d + 1)[:, None, None]
     mp = np.sqrt(cum.min(axis=2))
     pi = cum.argmin(axis=2)
-    return mp, pi
+    return mp, pi, cum
 
 
 def test_mstomp_multidim_vs_brute():
@@ -298,8 +332,17 @@ def test_mstomp_multidim_vs_brute():
     data = np.cumsum(rng.standard_normal((n, d)), axis=0)
     w = 12
     ms = mstomp(data, w)
-    mp_o, pi_o = brute_mstomp(data, w)
+    mp_o, _pi_o, cum = brute_mstomp(data, w)
     np.testing.assert_allclose(ms.mp, mp_o, atol=ATOL)
+    # ms.pi must ACHIEVE ms.mp under the oracle's own k-dim distance at
+    # (i, ms.pi[k, i]) — correct distances with garbage indices would pass
+    # the mp-only comparison above (pi EQUALITY would be wrong: ties)
+    for k in range(cum.shape[0]):
+        fin = np.isfinite(ms.mp[k]) & (ms.pi[k] >= 0)
+        ii = np.flatnonzero(fin)
+        assert len(ii) > 0
+        d = np.sqrt(cum[k, ii, ms.pi[k][ii]])
+        np.testing.assert_allclose(d, ms.mp[k][ii], atol=ATOL)
 
 
 def test_mstomp_must_exc():
@@ -320,7 +363,7 @@ def test_blocked_kernel_agreement():
                      (sinusoid_with_motifs, 16),
                      (lambda: random_walk(1300), 30)]:
         x = maker()
-        assert_profiles_equal(blocked_mp(x, w), brute_mp(x, w))
+        assert_profiles_equal(blocked_mp(x, w), brute_mp(x, w), x=x, w=w)
 
 
 def test_blocked_kernel_flat_and_nan():

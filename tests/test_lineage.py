@@ -62,11 +62,16 @@ def test_resumable_write_and_resume(tier_ds, tmp_path):
     st3 = resumable_write(tier_ds, out, "signal")
     assert set(st3.values()) == {"skipped"}
 
-    # read back and compare to the source
+    # read back and compare FULL CONTENT to the source (a count+uniques
+    # check passed on scrambled or duplicated-then-truncated data)
+    import pandas as pd
+
     got = read_partitioned(out, "signal").to_pandas()
     want = tier_ds.to_pandas()
-    assert len(got) == len(want)
-    assert sorted(got["signal"].unique()) == sorted(want["signal"].unique())
+    keys = ["conv_id", "signal", "bucket_ts"]
+    g = got.sort_values(keys).reset_index(drop=True)
+    v = want[g.columns.tolist()].sort_values(keys).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, v, check_dtype=False)
 
 
 def test_retention_compaction(tier_ds, tmp_path, ray_session):

@@ -257,6 +257,7 @@ def test_salted_path_equals_inline(ray_session):
     keys = ["conv_id", "signal", "window_idx"]
     a = sorted_df(inline, keys)
     b = sorted_df(salted, keys)
+    assert len(a) > 0  # two empty frames would compare equal vacuously
     np.testing.assert_allclose(a["mp"].to_numpy(), b["mp"].to_numpy(), atol=2e-5)
     np.testing.assert_allclose(a["rmp"].to_numpy(), b["rmp"].to_numpy(), atol=2e-5)
     np.testing.assert_allclose(a["lmp"].to_numpy(), b["lmp"].to_numpy(), atol=2e-5)
@@ -391,8 +392,10 @@ def test_checked_ops_gate_production_kernels(ray_session):
         prof_c.sort_values(["conv_id", "window_idx"]).reset_index(drop=True),
         st.sort_values(["conv_id", "window_idx"]).reset_index(drop=True))
 
-    # poisoned tolerance must raise (the gate is real)
-    with pytest.raises(Exception):
+    # poisoned tolerance must raise the GATE's own AssertionError — a bare
+    # Exception match would also pass on e.g. a TypeError from a renamed
+    # kwarg, leaving the gate silently un-exercised
+    with pytest.raises(Exception, match="deviates"):
         per_conv_stage(packed, profile_checked_op,
                        dict(kw, atol=1e-14)).to_pandas()
 

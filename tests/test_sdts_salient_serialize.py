@@ -129,9 +129,24 @@ def test_floss_stage_over_dataset(ray_session):
     from tsmp_ray.stages.floss_stage import floss_over_dataset
     from tsmp_ray.stages.signals import pack_series
 
+    from tsmp_ray.stages.floss_stage import FlossState
+
     tbl = synthetic_transcripts(n_convs=4, seed=13, mean_turns=150)
     packed = pack_series(ray.data.from_arrow(tbl))
     out = floss_over_dataset(packed, window_size=8, data_window=120,
                              threshold=0.6).to_pandas()
     assert len(out) == packed.count()
-    assert (out["n_segments"] >= 0).all()
+    # the actor path must equal a local FlossState replay per conv (same
+    # params incl. the actor's chunk=50 default) — `n_segments >= 0` alone
+    # could never fail for a count column
+    want = {}
+    for row in packed.to_pandas().itertuples():
+        st = FlossState(8, 120, threshold=0.6)
+        st.append(np.asarray(row.tool_call, dtype=np.float64), chunk=50)
+        want[row.conv_id] = list(st.segments)
+    assert len(want) == len(out)
+    got_any = False
+    for r in out.itertuples():
+        assert list(r.segments) == want[r.conv_id]
+        got_any = got_any or len(want[r.conv_id]) > 0
+    assert got_any  # at least one conv segments on this fixture

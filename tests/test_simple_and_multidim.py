@@ -30,6 +30,22 @@ def naive_simple(data, w, query=None, ez=0.5):
     return mp, pi
 
 
+def simple_pair_d(data, q, w, i, j):
+    """SiMPle's NON-normalized pair distance, recomputed independently —
+    validates that prof.pi points at windows achieving prof.mp (pi equality
+    vs the naive oracle would be wrong on exact ties)."""
+    data = np.atleast_2d(data.T).T
+    q = np.atleast_2d(q.T).T
+    return float(np.sqrt(((data[i : i + w] - q[j : j + w]) ** 2).sum()))
+
+
+def assert_simple_pi_achieves_mp(prof, data, q, w, atol=1e-6):
+    fin = np.isfinite(prof.mp) & (prof.pi >= 0)
+    for i in np.flatnonzero(fin):
+        assert abs(simple_pair_d(data, q, w, int(i), int(prof.pi[i]))
+                   - prof.mp[i]) <= atol
+
+
 def test_simple_fast_self_join_matches_naive():
     rng = np.random.default_rng(3)
     data = np.cumsum(rng.standard_normal((120, 3)), axis=0)
@@ -37,6 +53,7 @@ def test_simple_fast_self_join_matches_naive():
     prof = simple_fast(data, w)
     mp_o, pi_o = naive_simple(data, w)
     np.testing.assert_allclose(prof.mp, mp_o, atol=1e-6)
+    assert_simple_pi_achieves_mp(prof, data, data, w)
 
 
 def test_simple_fast_ab_join_matches_naive():
@@ -48,6 +65,7 @@ def test_simple_fast_ab_join_matches_naive():
     mp_o, pi_o = naive_simple(a, w, query=b)
     np.testing.assert_allclose(prof.mp, mp_o, atol=1e-6)
     assert prof.join
+    assert_simple_pi_achieves_mp(prof, a, b, w)
 
 
 def test_simple_fast_1d():
