@@ -24,6 +24,24 @@ def test_timestamp_roundtrip(ts):
     assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
 
 
+def test_pack_codes_matches_sequential_bitwriter():
+    """_pack_codes documents itself as bit-identical to the sequential
+    _BitWriter stream — keep that claim checkable (and the reference encoder
+    exercised) instead of letting the sequential path rot as dead code."""
+    from tsmp_ray.stages.compression import _BitWriter, _pack_codes
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 7, 1000, 40_000):  # 40k spans multiple CH=32768 chunks
+        widths = rng.integers(0, 65, size=n)
+        codes = np.array(
+            [rng.integers(0, 1 << int(w), dtype=np.uint64, endpoint=False)
+             if w else 0 for w in widths], dtype=np.uint64)
+        wr = _BitWriter()
+        for c, w in zip(codes.tolist(), widths.tolist()):
+            wr.write(int(c), int(w))
+        assert _pack_codes(codes, widths) == wr.bytes()
+
+
 def test_timestamp_roundtrip_random_and_compression_ratio():
     rng = np.random.default_rng(0)
     base = np.cumsum(rng.integers(1, 10**7, size=5000))

@@ -478,8 +478,8 @@ def test_text_oracle_unicode_parity():
     from tsmp_ray.stages.text import lang_id_batch, quality_batch, token_counts
 
     docs = pa.table({
-        "doc_id": pa.array(range(6), pa.int64()),
-        "lang": pa.array(["fr", "de", "en", "und", "es", "en"]),
+        "doc_id": pa.array(range(8), pa.int64()),
+        "lang": pa.array(["fr", "de", "en", "und", "es", "en", "de", "en"]),
         "text": pa.array([
             "le café crème est naïve, n'est-ce pas ?",
             "der Müll und die Straße für über—alles!",
@@ -487,6 +487,12 @@ def test_text_oracle_unicode_parity():
             "日本語のテキスト words 混ざった",
             "el niño está aquí… y según él",
             "non\xa0breaking spaces and – dashes",
+            # non-ASCII UPPERCASE: upper_ratio must count Lu, not [A-Z];
+            # Ⅷ is Other_Uppercase (Nl) — isupper() counts it, \p{Lu} doesn't
+            "ÜBER Ärger: ÉCLAIR МОСКВА und Ⅷ!",
+            # Cc whitespace Python's \s matches but RE2's \s/\p{Z} miss:
+            # these must NOT land in punct_ratio on either side
+            "odd\x0bwhitespace\x1c\x1d\x1e\x1ffile seps\x85next line.",
         ]),
     })
     con = duckdb.connect()

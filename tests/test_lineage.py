@@ -199,6 +199,68 @@ def test_compact_recovers_interrupted_rename(tier_ds, tmp_path, ray_session):
     assert len(after) == len(before)
 
 
+def test_compact_refreshes_manifest_after_promote_crash(tier_ds, tmp_path,
+                                                        ray_session):
+    """A compact killed between promoting tmp -> path and man.record leaves
+    the COMPACTED rows on disk under the PRE-compaction manifest entry; the
+    next run's n_keep == total takes the 'unchanged' branch, so it must
+    detect the rows mismatch and refresh the entry (stale rows/crc would make
+    any integrity consumer report the partition as corrupt forever)."""
+    from tsmp_ray.stages.retention import compact
+    from tsmp_ray.state.lineage import _content_hash
+
+    out = str(tmp_path / "tier1m")
+    resumable_write(tier_ds, out, "signal")
+    pdf = tier_ds.to_pandas()
+    lo, hi = int(pdf["bucket_ts"].min()), int(pdf["bucket_ts"].max())
+    ttl = int(hi - (lo + (hi - lo) * 0.4))
+
+    man = Manifest(out)
+    stale_entries = {k: dict(v) for k, v in man.data["partitions"].items()}
+    status = compact(out, now_us=hi, ttl_us=ttl)
+    compacted = [k for k, v in status.items() if v == "compacted"]
+    assert compacted
+    key = compacted[0]
+    # simulate the crash: disk state is post-compaction, manifest entry is
+    # the pre-compaction one (rows too high, old crc, no compacted_at)
+    man2 = Manifest(out)
+    man2.record(key, stale_entries[key])
+
+    status2 = compact(out, now_us=hi, ttl_us=ttl)
+    assert status2[key] == "compacted"  # refreshed, not 'unchanged'
+    entry = Manifest(out).data["partitions"][key]
+    path = os.path.join(out, key)
+    got = read_partitioned(out, "signal").to_pandas()
+    on_disk = len(got[got[key.split("=")[0]] == key.split("=", 1)[1]])
+    assert entry["rows"] == on_disk
+    assert entry["content_crc32"] == _content_hash(path)
+    assert "compacted_at" in entry
+
+
+def test_compact_finishes_interrupted_empty_drop(tier_ds, tmp_path,
+                                                 ray_session):
+    """A compact killed between rmtree(path) (partition fully expired) and
+    man.drop leaves a manifest entry pointing at a missing directory; the
+    next run must finish the drop instead of failing the read."""
+    from tsmp_ray.stages.retention import compact
+
+    out = str(tmp_path / "tier1m")
+    resumable_write(tier_ds, out, "signal")
+    pdf = tier_ds.to_pandas()
+    lo, hi = int(pdf["bucket_ts"].min()), int(pdf["bucket_ts"].max())
+
+    man = Manifest(out)
+    key = sorted(man.data["partitions"])[0]
+    shutil.rmtree(os.path.join(out, key))  # crash window: dir gone,
+    # manifest entry still present
+
+    status = compact(out, now_us=hi, ttl_us=(hi - lo) + 1)  # keep-all ttl
+    assert status[key] == "emptied"
+    man2 = Manifest(out)
+    assert key not in man2.data["partitions"]
+    assert all(v == "unchanged" for k, v in status.items() if k != key)
+
+
 def test_stale_tmp_dir_not_adopted(tier_ds, tmp_path, ray_session):
     """A '<key>.tmp-<pid>' leftover also starts with '<col>=' and already
     holds _SUCCESS (written before the promoting rename) — adoption must

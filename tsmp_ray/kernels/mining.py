@@ -273,11 +273,14 @@ def fluss_score(gtruth: np.ndarray, extracted: np.ndarray, data_size: int) -> fl
 
 
 def floss_cac_online(pi_window: np.ndarray, w: int, cac_size: int,
-                     online: bool = True) -> np.ndarray:
+                     online: bool = True,
+                     ez: float = DEFAULT_EZ) -> np.ndarray:
     """One-sided (online) CAC over the trailing window of a streaming profile
     (/root/reference/R/fluss.R:425-433): Kumaraswamy(1.939274, 1.698150) ideal
     instead of beta(2,2) because arcs can only point right in an append-only
-    stream. ``pi_window`` are profile indices re-based to the window."""
+    stream. ``pi_window`` are profile indices re-based to the window; ``ez``
+    sets the head zone forced to 1 (the caller's profile exclusion fraction —
+    floss_ref uses the StreamingProfile's own ez the same way)."""
     p = cac_size
     nnmark = np.zeros(p)
     valid = (pi_window >= 0) & (pi_window < p)
@@ -296,7 +299,7 @@ def floss_cac_online(pi_window: np.ndarray, w: int, cac_size: int,
     with np.errstate(divide="ignore", invalid="ignore"):
         cac = np.minimum(arc / ideal, 1.0)
     cac[~np.isfinite(cac) | (cac < 0)] = 1.0
-    zone = exclusion_zone(w, DEFAULT_EZ)
+    zone = exclusion_zone(w, ez)
     cac[: min(zone, p)] = 1.0
     return cac
 

@@ -96,7 +96,10 @@ def muinvn(x: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def movmin(x: np.ndarray, w: int) -> np.ndarray:
-    """Sliding-window minimum, O(n) monotonic-deque-free numpy formulation."""
+    """Sliding-window minimum over a zero-copy strided view — O(n·w) compares
+    but fully vectorized (a Python monotonic deque would be O(n) in theory
+    and slower in practice for the window sizes the engine sweeps; callers
+    budgeting per-step cost — e.g. _valmod_extend — should count the w)."""
     x = np.asarray(x, dtype=np.float64)
     if w <= 1:
         return x.copy()

@@ -168,15 +168,20 @@ FROM w
 
 # doc_quality: every ratio is an int/int float64 division and the composite a
 # fixed op-order arithmetic chain over them — bit-identical in numpy and SQL,
-# no rounding needed
+# no rounding needed. Unicode parity (pinned in test_text_oracle_unicode_
+# parity): uppercase is general-category Lu on BOTH sides (RE2 \p{Lu} /
+# unicodedata 'Lu' — str.isupper() would also count Other_Uppercase like
+# Roman numerals); the punct class excludes the Cc whitespace chars
+# (\x0b, \x1c-\x1f, \x85) that Python's \s matches but RE2's \s/\p{Z} miss
 DOC_QUALITY_SQL = r"""
 WITH f AS (
   SELECT doc_id,
          greatest(length(text), 1) AS L,
          CAST(length(text) AS DOUBLE) AS flen,
-         len(regexp_extract_all(text, '[^\p{L}\p{N}_\s\p{Z}]')) AS n_punct,
+         len(regexp_extract_all(text,
+             '[^\p{L}\p{N}_\s\p{Z}\x{0b}\x{1c}-\x{1f}\x{85}]')) AS n_punct,
          regexp_extract_all(text, '[\p{L}\p{N}_]+') AS words,
-         len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+         len(regexp_extract_all(text, '[\p{Lu}]')) AS n_upper
   FROM documents
 ),
 r AS (

@@ -66,7 +66,7 @@ class FlossState:
         valid = pi_win >= 0
         pi_win[valid] -= base
         cac = floss_cac_online(pi_win, self.w, cac_size,
-                               online=self.sp.offset > 0)
+                               online=self.sp.offset > 0, ez=self.ez)
         # extend the global cac record by the newly covered points; if the
         # chunk outruns the CAC window the slice would silently emit fewer
         # points than were appended and every later cac_final index would

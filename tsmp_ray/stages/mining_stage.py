@@ -346,22 +346,14 @@ _MP_EXACT_SCHEMA = pa.schema([
 ])
 
 
-def _oracle_order_mp(x: np.ndarray, w: int, zone: int):
-    """Oracle-order matrix profile: per window, z-normalize with population
-    mean/sd (windows with sd == 0 dropped on BOTH sides), distance =
-    sqrt(min over |i-j|>zone of Σ_k (zi_k - zj_k)²) — the exact arithmetic a
-    SQL self-join oracle performs. Returns (mp, ok-mask)."""
-    win = np.lib.stride_tricks.sliding_window_view(x, w)
-    mu = win.mean(axis=1)
-    sd = win.std(axis=1)
-    ok = sd > 0
-    z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
-    p = len(win)
-    # pairwise squared distances between z-rows (vectorized, oracle order in
-    # the k-sum is absorbed by round_dp), evaluated in ROW BLOCKS with a
-    # per-block min-reduce: memory is O(block × p), never O(p²)
+def _blocked_self_d2(z: np.ndarray, ok: np.ndarray, zone: int):
+    """Yield (lo, hi, d2) ROW BLOCKS of pairwise squared distances between
+    oracle-order z-rows (``_z_windows``), with the |i-j| ≤ zone exclusion
+    band and sd==0 columns masked to inf — the one home for the self-join
+    oracle-order masking semantics (memory O(block × p), never O(p²); the
+    k-sum's summation order is absorbed by the callers' round_dp)."""
+    p = len(z)
     col_idx = np.arange(p)
-    mp2 = np.full(p, np.inf)
     blk_rows = p if p <= 2048 else 512
     for lo in range(0, p, blk_rows):
         hi = min(lo + blk_rows, p)
@@ -369,6 +361,17 @@ def _oracle_order_mp(x: np.ndarray, w: int, zone: int):
         band = np.abs(np.arange(lo, hi)[:, None] - col_idx[None, :]) <= zone
         d2[band] = np.inf
         d2[:, ~ok] = np.inf
+        yield lo, hi, d2
+
+
+def _oracle_order_mp(x: np.ndarray, w: int, zone: int):
+    """Oracle-order matrix profile: per window, z-normalize with population
+    mean/sd (windows with sd == 0 dropped on BOTH sides), distance =
+    sqrt(min over |i-j|>zone of Σ_k (zi_k - zj_k)²) — the exact arithmetic a
+    SQL self-join oracle performs. Returns (mp, ok-mask)."""
+    z, ok = _z_windows(x, w)
+    mp2 = np.full(len(z), np.inf)
+    for lo, hi, d2 in _blocked_self_d2(z, ok, zone):
         mp2[lo:hi] = d2.min(axis=1)
     mp2[~ok] = np.inf
     return np.sqrt(mp2), ok
@@ -438,21 +441,9 @@ def _oracle_order_pi(x: np.ndarray, w: int, zone: int, round_dp: int = 6):
     integer signals make exact distance ties common). sd==0 windows are
     dropped on both sides; returns pi (-1 where no valid pair) of length
     p = n - w + 1."""
-    win = np.lib.stride_tricks.sliding_window_view(x, w)
-    mu = win.mean(axis=1)
-    sd = win.std(axis=1)
-    ok = sd > 0
-    z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
-    p = len(win)
-    col_idx = np.arange(p)
-    pi = np.full(p, -1, dtype=np.int64)
-    blk_rows = p if p <= 2048 else 512
-    for lo in range(0, p, blk_rows):
-        hi = min(lo + blk_rows, p)
-        d2 = ((z[lo:hi, None, :] - z[None, :, :]) ** 2).sum(axis=2)
-        band = np.abs(np.arange(lo, hi)[:, None] - col_idx[None, :]) <= zone
-        d2[band] = np.inf
-        d2[:, ~ok] = np.inf
+    z, ok = _z_windows(x, w)
+    pi = np.full(len(z), -1, dtype=np.int64)
+    for lo, hi, d2 in _blocked_self_d2(z, ok, zone):
         dr = np.round(np.sqrt(d2), round_dp)
         j = np.argmin(dr, axis=1)  # first minimum = smallest j tie-break
         has = np.isfinite(dr[np.arange(hi - lo), j])
@@ -468,23 +459,14 @@ def _oracle_order_dir(x: np.ndarray, w: int, zone: int, round_dp: int = 6):
     the deterministic selection a SQL row_number reproduces. Returns
     (lpi, rpi, rmp_rounded): -1 / inf where a side has no valid candidate;
     sd==0 windows dropped on both sides."""
-    win = np.lib.stride_tricks.sliding_window_view(x, w)
-    mu = win.mean(axis=1)
-    sd = win.std(axis=1)
-    ok = sd > 0
-    z = np.where(ok[:, None], (win - mu[:, None]) / np.where(ok, sd, 1.0)[:, None], 0.0)
-    p = len(win)
+    z, ok = _z_windows(x, w)
+    p = len(z)
     col_idx = np.arange(p)
     lpi = np.full(p, -1, dtype=np.int64)
     rpi = np.full(p, -1, dtype=np.int64)
     rmp = np.full(p, np.inf)
-    blk_rows = p if p <= 2048 else 512
-    for lo in range(0, p, blk_rows):
-        hi = min(lo + blk_rows, p)
-        d2 = ((z[lo:hi, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+    for lo, hi, d2 in _blocked_self_d2(z, ok, zone):
         rows = np.arange(lo, hi)[:, None]
-        d2[np.abs(rows - col_idx[None, :]) <= zone] = np.inf
-        d2[:, ~ok] = np.inf
         dr = np.round(np.sqrt(d2), round_dp)
         left = np.where(col_idx[None, :] < rows, dr, np.inf)
         right = np.where(col_idx[None, :] > rows, dr, np.inf)
@@ -952,18 +934,22 @@ def abjoin_pair_op(id_a, xa, id_b, xb, *, w: int, signal: str = "text_len"):
         return _ABJOIN_SCHEMA.empty_table()
     if len(xa) < w or len(xb) < w or min(len(xa), len(xb)) < 2 * w:
         return None
+    # ONE join pass: mpx's AB mode fills both orientations in the same
+    # diagonal sweep (mp/pi = A side, mpb/pib = B side — mpx.cpp:234-248),
+    # so the reversed call would recompute identical distances
+    prof = mpx(xa, w, query=xb)
     outs = []
-    for ia, ib, sa, sb, tag in ((id_a, id_b, xa, xb, "ab"),
-                                (id_b, id_a, xb, xa, "ba")):
-        prof = mpx(sa, w, query=sb)
-        p = len(prof.mp)
+    for ia, ib, mp_arr, pi_arr, tag in (
+            (id_a, id_b, prof.mp, prof.pi, "ab"),
+            (id_b, id_a, prof.mpb, prof.pib, "ba")):
+        p = len(mp_arr)
         outs.append(pa.table({
             "conv_a": _const_col(ia, p),
             "conv_b": _const_col(ib, p),
             "orientation": _const_col(tag, p),
             "window_idx": pa.array(np.arange(p, dtype=np.int64)),
-            "mp": pa.array(prof.mp),
-            "pi": pa.array(prof.pi.astype(np.int64)),
+            "mp": pa.array(mp_arr),
+            "pi": pa.array(pi_arr.astype(np.int64)),
         }, schema=_ABJOIN_SCHEMA))
     return pa.concat_tables(outs)
 
@@ -1073,8 +1059,12 @@ def abjoin_checked_pair_op(id_a, xa, id_b, xb, *, w: int,
         return _ABJOIN_CHECKED_SCHEMA.empty_table()
     if len(xa) < 2 * w or len(xb) < 2 * w:
         return None
+    # one kernel pass for both orientations (see abjoin_pair_op): the BA
+    # side's production values are the same sweep's mpb
+    joined = mpx(xa, w, query=xb)
     outs = []
-    for ia, ib, sa, sb in ((id_a, id_b, xa, xb), (id_b, id_a, xb, xa)):
+    for ia, ib, sa, sb, kernel_mp in ((id_a, id_b, xa, xb, joined.mp),
+                                      (id_b, id_a, xb, xa, joined.mpb)):
         za, oka = _z_windows(sa, w)
         zb, okb = _z_windows(sb, w)
         d2 = (((za[:, None, :] - zb[None, :, :]) ** 2).sum(axis=2)
@@ -1091,12 +1081,11 @@ def abjoin_checked_pair_op(id_a, xa, id_b, xb, *, w: int,
             d2min = d2.min(axis=1)
         d = np.sqrt(d2min)
         d[~oka] = np.inf
-        prod = mpx(sa, w, query=sb)
-        _assert_finiteness_agrees(oka & np.isfinite(d), prod.mp,
+        _assert_finiteness_agrees(oka & np.isfinite(d), kernel_mp,
                                   "ab_join_checked", f"({ia}, {ib})")
-        both = oka & np.isfinite(d) & np.isfinite(prod.mp[: len(d)])
-        if not np.allclose(prod.mp[: len(d)][both], d[both], rtol=0.0, atol=atol):
-            worst = float(np.abs(prod.mp[: len(d)][both] - d[both]).max())
+        both = oka & np.isfinite(d) & np.isfinite(kernel_mp[: len(d)])
+        if not np.allclose(kernel_mp[: len(d)][both], d[both], rtol=0.0, atol=atol):
+            worst = float(np.abs(kernel_mp[: len(d)][both] - d[both]).max())
             raise AssertionError(
                 f"AB-join kernel deviates from oracle-order cross distance "
                 f"on pair ({ia}, {ib}): max|Δ|={worst:.2e} > atol={atol}")

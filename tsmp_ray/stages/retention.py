@@ -62,12 +62,36 @@ def compact(out_dir: str, now_us: int, ttl_us: int) -> dict:
         if not os.path.exists(path) and os.path.exists(old):
             os.replace(old, path)
         shutil.rmtree(old, ignore_errors=True)
+        if not os.path.exists(path):
+            # a previous run emptied the partition (rmtree) but crashed
+            # before man.drop — finish the drop now instead of failing the
+            # read on a directory the manifest wrongly still records
+            man.drop(key)
+            status[key] = "emptied"
+            continue
         ds = ray.data.read_parquet(path)
         total = ds.count()
         kept = ds.filter(expr=f"bucket_ts >= {cutoff}")
         n_keep = kept.count()
         if n_keep == total:
-            status[key] = "unchanged"
+            entry = dict(man.data["partitions"][key])
+            if entry.get("rows") != total:
+                # a previous run promoted its rewrite (tmp -> path) but
+                # crashed before man.record — the on-disk partition is the
+                # compacted one while the manifest still records the
+                # pre-compaction rows/crc; refresh the entry now so
+                # integrity consumers don't read the partition as corrupt
+                entry.update(
+                    rows=total,
+                    content_crc32=_content_hash(path),
+                    compacted_at=time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                               time.gmtime()),
+                    ttl_cutoff_us=cutoff,
+                )
+                man.record(key, entry)
+                status[key] = "compacted"
+            else:
+                status[key] = "unchanged"
             continue
         if n_keep == 0:
             shutil.rmtree(path, ignore_errors=True)

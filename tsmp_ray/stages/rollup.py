@@ -81,29 +81,44 @@ def _partial_from_signals(batch: pa.Table, tier: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _missing_buckets(bts: np.ndarray, width: int,
+                     max_gap: int | None) -> np.ndarray:
+    """Bucket timestamps ABSENT between a series' present buckets — THE
+    gap-fill candidate rule, shared by all three fill paths (``_fill_df``,
+    ``gap_fill_tier``, ``_emit_tier_arrays``) so their bitwise parity can't
+    drift. ``max_gap`` bounds interpolation: gaps wider than that many
+    buckets are left unfilled (None = fill everything)."""
+    if len(bts) < 2:
+        return np.empty(0, dtype=np.int64)
+    if max_gap is not None:
+        gaps = np.diff(bts) // width
+        idx = np.flatnonzero((gaps > 1) & (gaps <= max_gap))
+        return (np.concatenate([np.arange(bts[i] + width, bts[i + 1], width)
+                                for i in idx])
+                if len(idx) else np.empty(0, dtype=np.int64))
+    full = np.arange(bts[0], bts[-1] + width, width)
+    return np.setdiff1d(full, bts)
+
+
+#: filler values for a gap row's aggregate columns (mean_v is interpolated
+#: and gap_filled set True at each site) — one home for the NaN/-1 schema
+_GAP_FILLER: dict[str, np.int64 | float] = {
+    "n": np.int64(0), "sum_v": np.nan, "min_v": np.nan, "max_v": np.nan,
+    "sumsq": np.nan, "first_ts": np.int64(-1), "first_v": np.nan,
+    "last_ts": np.int64(-1), "last_v": np.nan,
+}
+
+
 def _fill_df(out: "pd.DataFrame", width: int, max_gap: int | None) -> "pd.DataFrame":
     """Append gap rows (n=0, gap_filled, interpolated mean_v) to a folded
     per-(conv,signal) bucket frame. Vectorized; bounded by max_gap buckets."""
     bts = out["bucket_ts"].to_numpy()
-    if len(bts) < 2:
-        return out
-    if max_gap is not None:
-        gaps = np.diff(bts) // width
-        idx = np.flatnonzero((gaps > 1) & (gaps <= max_gap))
-        missing = (np.concatenate([np.arange(bts[i] + width, bts[i + 1], width)
-                                   for i in idx])
-                   if len(idx) else np.empty(0, dtype=np.int64))
-    else:
-        full = np.arange(bts[0], bts[-1] + width, width)
-        missing = np.setdiff1d(full, bts)
+    missing = _missing_buckets(bts, width, max_gap)
     if len(missing) == 0:
         return out
     filler = pd.DataFrame({
         "conv_id": out["conv_id"].iloc[0], "signal": out["signal"].iloc[0],
-        "bucket_ts": missing, "n": np.int64(0), "sum_v": np.nan,
-        "min_v": np.nan, "max_v": np.nan, "sumsq": np.nan,
-        "first_ts": np.int64(-1), "first_v": np.nan,
-        "last_ts": np.int64(-1), "last_v": np.nan,
+        "bucket_ts": missing, **_GAP_FILLER,
         "mean_v": np.interp(missing, bts, out["mean_v"].to_numpy()),
         "gap_filled": True,
     })
@@ -217,37 +232,22 @@ def gap_fill_tier(ds_tier, tier: str, max_gap_buckets: int | None = None):
         order = pc.sort_indices(batch, sort_keys=[("bucket_ts", "ascending")])
         batch = batch.take(order)
         bts = batch["bucket_ts"].to_numpy()
-        if len(bts) < 2:
-            return batch
-        if max_gap_buckets is not None:
-            gaps = np.diff(bts) // width  # buckets between consecutive points
-            fill_from = np.flatnonzero((gaps > 1) & (gaps <= max_gap_buckets))
-            missing = np.concatenate([
-                np.arange(bts[i] + width, bts[i + 1], width) for i in fill_from
-            ]) if len(fill_from) else np.empty(0, dtype=np.int64)
-        else:
-            full = np.arange(bts[0], bts[-1] + width, width)
-            missing = np.setdiff1d(full, bts)
+        missing = _missing_buckets(bts, width, max_gap_buckets)
         if len(missing) == 0:
             return batch
         means = batch["mean_v"].to_numpy()
-        interp = np.interp(missing, bts, means)
         nmiss = len(missing)
         filler = pa.table(
             {
                 "conv_id": pa.array([batch["conv_id"][0].as_py()] * nmiss),
                 "signal": pa.array([batch["signal"][0].as_py()] * nmiss),
                 "bucket_ts": pa.array(missing, pa.int64()),
-                "n": pa.array(np.zeros(nmiss, dtype=np.int64)),
-                "sum_v": pa.array(np.full(nmiss, np.nan)),
-                "min_v": pa.array(np.full(nmiss, np.nan)),
-                "max_v": pa.array(np.full(nmiss, np.nan)),
-                "sumsq": pa.array(np.full(nmiss, np.nan)),
-                "first_ts": pa.array(np.full(nmiss, -1, dtype=np.int64)),
-                "first_v": pa.array(np.full(nmiss, np.nan)),
-                "last_ts": pa.array(np.full(nmiss, -1, dtype=np.int64)),
-                "last_v": pa.array(np.full(nmiss, np.nan)),
-                "mean_v": pa.array(interp),
+                **{k: pa.array(np.full(
+                       nmiss, v,
+                       dtype=np.int64 if isinstance(v, np.integer)
+                       else np.float64))
+                   for k, v in _GAP_FILLER.items()},
+                "mean_v": pa.array(np.interp(missing, bts, means)),
                 "gap_filled": pa.array(np.ones(nmiss, dtype=bool)),
             }
         )
@@ -308,37 +308,19 @@ def _emit_tier_arrays(p: dict, width: int, gap_fill: bool,
     mean = p["sum_v"] / p["n"]
     out = {**p, "mean_v": mean,
            "gap_filled": np.zeros(len(bts), dtype=bool)}
-    if not gap_fill or len(bts) < 2:
+    if not gap_fill:
         return out
-    if max_gap is not None:
-        gaps = np.diff(bts) // width
-        idx = np.flatnonzero((gaps > 1) & (gaps <= max_gap))
-        missing = (np.concatenate([np.arange(bts[i] + width, bts[i + 1], width)
-                                   for i in idx])
-                   if len(idx) else np.empty(0, dtype=np.int64))
-    else:
-        full = np.arange(bts[0], bts[-1] + width, width)
-        missing = np.setdiff1d(full, bts)
+    missing = _missing_buckets(bts, width, max_gap)
     if len(missing) == 0:
         return out
     nm = len(missing)
-    merged = {
-        "bucket_ts": np.concatenate([bts, missing]),
-        "n": np.concatenate([p["n"], np.zeros(nm, dtype=np.int64)]),
-        "sum_v": np.concatenate([p["sum_v"], np.full(nm, np.nan)]),
-        "min_v": np.concatenate([p["min_v"], np.full(nm, np.nan)]),
-        "max_v": np.concatenate([p["max_v"], np.full(nm, np.nan)]),
-        "sumsq": np.concatenate([p["sumsq"], np.full(nm, np.nan)]),
-        "first_ts": np.concatenate([p["first_ts"],
-                                    np.full(nm, -1, dtype=np.int64)]),
-        "first_v": np.concatenate([p["first_v"], np.full(nm, np.nan)]),
-        "last_ts": np.concatenate([p["last_ts"],
-                                   np.full(nm, -1, dtype=np.int64)]),
-        "last_v": np.concatenate([p["last_v"], np.full(nm, np.nan)]),
-        "mean_v": np.concatenate([mean, np.interp(missing, bts, mean)]),
-        "gap_filled": np.concatenate([np.zeros(len(bts), dtype=bool),
-                                      np.ones(nm, dtype=bool)]),
-    }
+    merged = {"bucket_ts": np.concatenate([bts, missing])}
+    for k, v in _GAP_FILLER.items():
+        dt = np.int64 if isinstance(v, np.integer) else np.float64
+        merged[k] = np.concatenate([p[k], np.full(nm, v, dtype=dt)])
+    merged["mean_v"] = np.concatenate([mean, np.interp(missing, bts, mean)])
+    merged["gap_filled"] = np.concatenate([np.zeros(len(bts), dtype=bool),
+                                           np.ones(nm, dtype=bool)])
     order = np.argsort(merged["bucket_ts"], kind="stable")
     return {k: a[order] for k, a in merged.items()}
 

@@ -7,6 +7,7 @@ compiled state built once per actor.
 from __future__ import annotations
 
 import re
+import unicodedata
 import zlib
 
 import numpy as np
@@ -127,7 +128,11 @@ class QualityScorer:
             nw = max(len(words), 1)
             stop_ratio[i] = sum(w.lower() in self.stop for w in words) / nw
             mean_wlen[i] = sum(len(w) for w in words) / nw
-            upper_ratio[i] = sum(c.isupper() for c in t) / L
+            # general-category Lu, not str.isupper(): isupper() also counts
+            # Other_Uppercase (Roman numerals, circled letters) which RE2's
+            # \p{Lu} in the SQL oracle excludes — both sides must agree
+            upper_ratio[i] = sum(unicodedata.category(c) == "Lu"
+                                 for c in t) / L
         length = np.array([len(t) for t in texts], dtype=np.float64)
         # composite: long enough, low punct noise, some stopwords (naturalness),
         # sane word lengths, not shouty
